@@ -1,0 +1,15 @@
+"""Feather read/write via pyarrow (the reference stores per-FOV pixel matrices
+and SOM weights as feather files; `cluster_helpers.py:116`, pixie stages)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyarrow import feather as _pa_feather
+
+
+def write_dataframe(df: pd.DataFrame, path, compression: str = "uncompressed"):
+    _pa_feather.write_feather(df, str(path), compression=compression)
+
+
+def read_dataframe(path) -> pd.DataFrame:
+    return _pa_feather.read_feather(str(path))

@@ -1,0 +1,177 @@
+"""Cohort image loading: TIFF channel trees -> (fov, row, col, channel) arrays.
+
+Re-provides the `alpineer.load_utils` capability surface (SURVEY.md §1 L0:
+load_imgs_from_tree / load_imgs_from_dir / load_tiled_img_data /
+get_tiled_fov_names) with a TPU-friendly contract: loaders return a dense
+float32/int numpy block plus coordinate labels (via ark_tpu DataArray), ready
+for a single host→device transfer of whole FOV batches.
+
+Expected tree layout (same as reference cohorts):
+    data_dir/
+      fov0/  <img_sub_folder>/ chan0.tiff chan1.tiff ...
+      fov1/  <img_sub_folder>/ ...
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import warnings
+from typing import List, Optional
+
+import numpy as np
+
+from ark_tpu.io import io_utils
+from ark_tpu.io.image_utils import read_image
+from ark_tpu.utils.labeled_array import DataArray
+
+
+def _infer_dtype(arrs) -> np.dtype:
+    return np.result_type(*[a.dtype for a in arrs])
+
+
+def load_imgs_from_tree(data_dir: str, img_sub_folder: Optional[str] = None,
+                        fovs: Optional[List[str]] = None,
+                        channels: Optional[List[str]] = None,
+                        dtype=None, max_image_size: Optional[int] = None) -> DataArray:
+    """Load `data_dir/<fov>/<img_sub_folder>/<channel>.tiff` into a
+    (fovs, rows, cols, channels) DataArray. Channels may be given with or
+    without extensions; FOVs default to every subfolder, natural-sorted."""
+    io_utils.validate_paths([data_dir])
+    if fovs is None:
+        fovs = io_utils.list_folders(data_dir)
+    if isinstance(fovs, str):
+        fovs = [fovs]
+    if len(fovs) == 0:
+        raise ValueError(f"No FOV folders found in {data_dir}")
+    if img_sub_folder is None:
+        img_sub_folder = ""
+
+    # resolve channel file names from the first FOV
+    first_dir = os.path.join(data_dir, fovs[0], img_sub_folder)
+    io_utils.validate_paths([first_dir])
+    all_files = io_utils.list_files(first_dir, substrs=[".tiff", ".tif"])
+    if channels is None:
+        channel_files = all_files
+    else:
+        with_ext, names = [], []
+        for c in channels:
+            if c.endswith((".tiff", ".tif")):
+                with_ext.append(c)
+            else:
+                match = [f for f in all_files if os.path.splitext(f)[0] == c]
+                if not match:
+                    raise ValueError(f"channel {c} not found in {first_dir}")
+                with_ext.append(match[0])
+        channel_files = with_ext
+    channel_names = io_utils.remove_file_extensions(channel_files)
+    if len(channel_files) == 0:
+        raise ValueError(f"No channel images found in {first_dir}")
+
+    fov_blocks = []
+    max_h = max_w = 0
+    for fov in fovs:
+        fdir = os.path.join(data_dir, fov, img_sub_folder)
+        chans = [read_image(os.path.join(fdir, cf)) for cf in channel_files]
+        block = np.stack(chans, axis=-1)
+        max_h, max_w = max(max_h, block.shape[0]), max(max_w, block.shape[1])
+        fov_blocks.append(block)
+
+    if max_image_size is not None:
+        max_h = max_w = max_image_size
+    # pad ragged FOVs to the cohort max (keeps the device block dense/static)
+    out_dtype = dtype or _infer_dtype(fov_blocks)
+    out = np.zeros((len(fovs), max_h, max_w, len(channel_files)), dtype=out_dtype)
+    for i, b in enumerate(fov_blocks):
+        out[i, :b.shape[0], :b.shape[1], :] = b
+
+    return DataArray(out, coords={"fovs": fovs, "rows": np.arange(max_h),
+                                  "cols": np.arange(max_w), "channels": channel_names})
+
+
+def load_imgs_from_dir(data_dir: str, files: Optional[List[str]] = None,
+                       match_substring: Optional[str] = None,
+                       trim_suffix: Optional[str] = None,
+                       xr_dim_name: str = "compartments",
+                       xr_channel_names: Optional[List[str]] = None,
+                       dtype=None) -> DataArray:
+    """Load loose image files `data_dir/*.tiff` into a
+    (fovs, rows, cols, <xr_dim_name>) DataArray. Each file is one FOV; a
+    multi-page/HxWxC file populates the last axis."""
+    io_utils.validate_paths([data_dir])
+    if files is None:
+        files = io_utils.list_files(data_dir, substrs=match_substring or [".tiff", ".tif"])
+    if len(files) == 0:
+        raise ValueError(f"No image files found in {data_dir}")
+    names = io_utils.remove_file_extensions(files)
+    if trim_suffix:
+        names = [re.sub(re.escape(trim_suffix) + "$", "", n) for n in names]
+
+    blocks = []
+    for f in files:
+        img = read_image(os.path.join(data_dir, f))
+        if img.ndim == 2:
+            img = img[..., None]
+        blocks.append(img)
+    shapes = {b.shape for b in blocks}
+    if len(shapes) > 1:
+        raise ValueError(f"Mixed image shapes in {data_dir}: {shapes}")
+    out = np.stack(blocks, axis=0)
+    if dtype is not None:
+        out = out.astype(dtype)
+    nch = out.shape[-1]
+    ch_names = xr_channel_names if xr_channel_names is not None else list(range(nch))
+    return DataArray(out, coords={"fovs": names, "rows": np.arange(out.shape[1]),
+                                  "cols": np.arange(out.shape[2]), xr_dim_name: ch_names})
+
+
+def get_tiled_fov_names(fov_list: List[str], return_dims: bool = False):
+    """From RnCm-style FOV names, compute the full expected tile grid
+    (reference behavior: `alpineer.load_utils.get_tiled_fov_names`)."""
+    prefixes, rows, cols = set(), 0, 0
+    parsed = []
+    for fov in fov_list:
+        m = re.match(r"(?:(.*)_)?R(\d+)C(\d+)", fov)
+        if not m:
+            raise ValueError(f"FOV {fov} is not RnCm-tiled")
+        prefix = m.group(1) or ""
+        prefixes.add(prefix)
+        parsed.append((prefix, int(m.group(2)), int(m.group(3))))
+    expected = []
+    dims = []
+    for prefix in io_utils.natsorted(prefixes):
+        rs = [r for p, r, c in parsed if p == prefix]
+        cs = [c for p, r, c in parsed if p == prefix]
+        rows, cols = max(rs), max(cs)
+        names = [f"{prefix + '_' if prefix else ''}R{r}C{c}"
+                 for r in range(1, rows + 1) for c in range(1, cols + 1)]
+        expected.append(names)
+        dims.append((prefix, rows, cols))
+    flat = [n for group in expected for n in group]
+    if return_dims:
+        return flat, dims
+    return flat
+
+
+def load_tiled_img_data(data_dir: str, fovs: List[str], expected_fovs: List[str],
+                        channel: str, single_dir: bool = False,
+                        img_sub_folder: str = "") -> DataArray:
+    """Load one channel for a tiled FOV grid, zero-filling missing tiles."""
+    io_utils.validate_paths([data_dir])
+    blocks, shape = {}, None
+    for fov in fovs:
+        if single_dir:
+            path = os.path.join(data_dir, f"{fov}_{channel}.tiff")
+        else:
+            path = os.path.join(data_dir, fov, img_sub_folder, f"{channel}.tiff")
+        img = read_image(path)
+        blocks[fov] = img
+        shape = img.shape
+    if shape is None:
+        raise ValueError("no tiles loaded")
+    out = np.zeros((len(expected_fovs),) + shape + (1,), dtype=np.float32)
+    for i, fov in enumerate(expected_fovs):
+        if fov in blocks:
+            out[i, ..., 0] = blocks[fov]
+    return DataArray(out, coords={"fovs": expected_fovs, "rows": np.arange(shape[0]),
+                                  "cols": np.arange(shape[1]), "channels": [channel]})

@@ -1,0 +1,27 @@
+"""Test-suite configuration.
+
+Tests run on CPU with 8 virtual XLA devices so sharded (pjit/shard_map) code
+paths execute without TPU hardware (the env vars must be set before JAX is
+imported anywhere). Numerics funnel through the same jitted code the TPU runs.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    """Session-seeded RNG (mirrors the reference conftest's default_rng(12345))."""
+    return np.random.default_rng(12345)
+
+
+@pytest.fixture(autouse=True)
+def _seed_numpy():
+    np.random.seed(24)
