@@ -1,0 +1,230 @@
+"""Pixel-clustering utilities: cohort percentiles, row normalization, channel
+smoothing/filtering, cluster channel averages, resume detection.
+
+Capability parity with reference `src/ark/phenotyping/pixel_cluster_utils.py`
+(percentile calc :16-106, normalize_rows :109-142, modified-channel warning
+:145-180, smoothing :183-227, nuclear filtering :230-291, cluster channel
+averages :294-416, find_fovs_missing_col :419-478) — quantiles, blurs and
+groupby reductions run on device via ark_tpu.ops."""
+
+from __future__ import annotations
+
+import os
+import random
+import warnings
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ark_tpu.io import feather_utils as feather
+from ark_tpu.io import io_utils, load_utils
+from ark_tpu.io.image_utils import save_image, read_image
+from ark_tpu.io.misc_utils import verify_in_list
+from ark_tpu.ops import image_filters, quantiles
+
+
+def calculate_channel_percentiles(tiff_dir, fovs, channels, img_sub_folder,
+                                  percentile) -> pd.DataFrame:
+    """Mean over FOVs of the per-FOV nonzero-pixel `percentile` per channel.
+
+    Channel order in the returned frame is natural-sorted (reference
+    `pixel_cluster_utils.py:16-60`).
+    """
+    percentile_means = []
+    for channel in channels:
+        vals = []
+        for fov in fovs:
+            img = load_utils.load_imgs_from_tree(
+                tiff_dir, img_sub_folder=img_sub_folder, channels=[channel],
+                fovs=[fov]).values[0, :, :, 0]
+            if (img > 0).any():
+                vals.append(float(quantiles.nonzero_quantile(
+                    jnp.asarray(img), percentile)))
+        percentile_means.append(np.mean(vals))
+    df = pd.DataFrame(np.expand_dims(percentile_means, 0), columns=channels)
+    return df[io_utils.natsorted(df.columns)]
+
+
+def calculate_pixel_intensity_percentile(tiff_dir, fovs, channels,
+                                         img_sub_folder, channel_percentiles,
+                                         percentile=0.05) -> float:
+    """Mean over FOVs of the `percentile` of channel-normalized total pixel
+    signal (reference :63-106)."""
+    norm_vect = jnp.asarray(
+        channel_percentiles.iloc[0].values.astype(np.float32))
+    vals = []
+    for fov in fovs:
+        img = load_utils.load_imgs_from_tree(
+            tiff_dir, img_sub_folder=img_sub_folder, fovs=[fov],
+            channels=channels).values[0]
+        summed = jnp.sum(jnp.asarray(img, jnp.float32) / norm_vect, axis=-1)
+        vals.append(float(quantiles.quantile(summed, percentile)))
+    return float(np.mean(vals))
+
+
+def normalize_rows(pixel_data: pd.DataFrame, channels: List[str],
+                   include_seg_label: bool = True) -> pd.DataFrame:
+    """Divide each row's channel values by the row sum, keeping meta columns
+    (reference :109-142)."""
+    sub = pixel_data[channels]
+    sub = sub.div(sub.sum(axis=1), axis=0)
+    meta_cols = ["fov", "row_index", "column_index"]
+    if include_seg_label:
+        meta_cols.append("label")
+    sub[meta_cols] = pixel_data.loc[sub.index.values, meta_cols]
+    return sub
+
+
+def check_for_modified_channels(tiff_dir, test_fov, img_sub_folder, channels):
+    """Warn if a base channel was selected but a modified variant exists
+    (reference :145-180)."""
+    if img_sub_folder is None:
+        img_sub_folder = ""
+    all_channels = io_utils.remove_file_extensions(
+        io_utils.list_files(os.path.join(tiff_dir, test_fov, img_sub_folder)))
+    for channel in channels:
+        for mod in ["_smoothed", "_nuc_include", "_nuc_exclude"]:
+            if channel + mod in all_channels:
+                warnings.warn(
+                    f"You selected {channel} as the channel to analyze, but "
+                    f"there were potential modified channels found: "
+                    f"{channel + mod}. Make sure you selected the correct "
+                    f"version of the channel for inclusion in clustering")
+
+
+def smooth_channels(fovs, tiff_dir, img_sub_folder, channels, smooth_vals):
+    """Write extra-smoothed `<chan>_smoothed.tiff` variants (reference
+    :183-227); the blur runs on device."""
+    if channels is None or len(channels) == 0:
+        return
+    if img_sub_folder is None:
+        img_sub_folder = ""
+    if isinstance(smooth_vals, int):
+        smooth_vals = [smooth_vals] * len(channels)
+    elif isinstance(smooth_vals, list):
+        if len(smooth_vals) != len(channels):
+            raise ValueError(
+                "A list was provided for variable smooth_vals, but it does "
+                "not have the same length as the list of channels provided")
+    else:
+        raise ValueError("Variable smooth_vals must be either a single "
+                         "integer or a list")
+    for fov in fovs:
+        for chan, sval in zip(channels, smooth_vals):
+            img = load_utils.load_imgs_from_tree(
+                tiff_dir, img_sub_folder=img_sub_folder, fovs=[fov],
+                channels=[chan]).values[0, :, :, 0]
+            out = np.asarray(image_filters.gaussian_blur(
+                jnp.asarray(img, jnp.float32), sigma=float(sval)))
+            save_image(os.path.join(tiff_dir, fov, img_sub_folder,
+                                    chan + "_smoothed.tiff"), out)
+
+
+def filter_with_nuclear_mask(fovs: List, tiff_dir: str, seg_dir: str,
+                             channel: str, nuc_seg_suffix: str = "_nuclear.tiff",
+                             img_sub_folder: str = None, exclude: bool = True):
+    """Zero out nuclear (or non-nuclear) signal using the nuclear mask and
+    save `<chan>_nuc_exclude/_nuc_include.tiff` (reference :230-291)."""
+    if seg_dir is None:
+        print("No seg_dir provided, you must provide one to run nuclear filtering")
+        return
+    io_utils.validate_paths(seg_dir)
+    if img_sub_folder is None:
+        img_sub_folder = ""
+    for fov in fovs:
+        img = load_utils.load_imgs_from_tree(
+            tiff_dir, img_sub_folder=img_sub_folder, fovs=[fov],
+            channels=[channel]).values[0, :, :, 0].copy()
+        seg_img = read_image(os.path.join(seg_dir, f"{fov}{nuc_seg_suffix}"))
+        if seg_img.ndim == 3:
+            seg_img = seg_img[0]
+        if exclude:
+            suffix, seg_mask = "_nuc_exclude.tiff", seg_img > 0
+        else:
+            suffix, seg_mask = "_nuc_include.tiff", seg_img == 0
+        img[seg_mask] = 0
+        save_image(os.path.join(tiff_dir, fov, img_sub_folder,
+                                channel + suffix), img)
+
+
+def compute_pixel_cluster_channel_avg(fovs, channels, base_dir,
+                                      pixel_cluster_col: str,
+                                      num_pixel_clusters: Optional[int],
+                                      pixel_data_dir='pixel_mat_data',
+                                      num_fovs_subset=100, seed=42,
+                                      keep_count=False) -> pd.DataFrame:
+    """Average channel expression per pixel SOM/meta cluster over a ≤
+    `num_fovs_subset` random FOV subset (reference :294-416): per-FOV
+    groupby sums+counts, cohort-level merge, mean = sum/count."""
+    verify_in_list(provided_cluster_col=[pixel_cluster_col],
+                   valid_cluster_cols=["pixel_som_cluster", "pixel_meta_cluster"])
+    if num_pixel_clusters is not None and num_pixel_clusters <= 0:
+        raise ValueError("If set, number of pixel clusters desired must be "
+                         "a positive integer")
+    if num_fovs_subset <= 0:
+        raise ValueError("Number of fovs to subset must be a positive integer")
+    if len(fovs) < num_fovs_subset:
+        warnings.warn(
+            f"Provided num_fovs_subset={num_fovs_subset} but only {len(fovs)} "
+            f"FOVs in dataset, subsetting just the {len(fovs)} FOVs")
+    random.seed(seed)
+    fovs_sub = random.sample(list(fovs), num_fovs_subset) \
+        if num_fovs_subset < len(fovs) else list(fovs)
+
+    per_fov = []
+    for fov in fovs_sub:
+        try:
+            fov_data = feather.read_dataframe(
+                os.path.join(base_dir, pixel_data_dir, fov + ".feather"))
+        except (OSError, IOError, Exception) as e:  # ArrowInvalid subclasses
+            if type(e).__name__ not in ("ArrowInvalid", "OSError", "IOError"):
+                raise
+            print(f"The data for FOV {fov} has been corrupted, skipping")
+            continue
+        g = fov_data.groupby(pixel_cluster_col)
+        agg = g[channels].sum()
+        agg["count"] = g.size()
+        per_fov.append(agg.reset_index())
+
+    totals = pd.concat(per_fov).groupby(pixel_cluster_col)[
+        channels + ["count"]].sum().reset_index()
+    if num_pixel_clusters is not None and totals.shape[0] < num_pixel_clusters:
+        raise ValueError(
+            f"Averaged data contains just {totals.shape[0]} clusters out of "
+            f"{num_pixel_clusters}. Average expression file not written. "
+            f"Consider increasing your num_fovs_subset value.")
+    totals[channels] = totals[channels].div(totals["count"], axis=0)
+    totals[pixel_cluster_col] = totals[pixel_cluster_col].astype(int)
+    totals = totals.sort_values(by=pixel_cluster_col)
+    if not keep_count:
+        totals = totals.drop("count", axis=1)
+    return totals
+
+
+def find_fovs_missing_col(base_dir, data_dir, missing_col) -> List[str]:
+    """FOVs in `data_dir` still lacking `missing_col`; the `<data_dir>_temp`
+    directory marks an in-progress stage (reference :419-478)."""
+    data_path = os.path.join(base_dir, data_dir)
+    temp_path = os.path.join(base_dir, data_dir + "_temp")
+    io_utils.validate_paths(data_path)
+
+    if not os.path.exists(temp_path):
+        fov_files = io_utils.list_files(data_path, substrs=".feather")
+        fov_data = None
+        for f in fov_files:
+            try:
+                fov_data = feather.read_dataframe(os.path.join(data_path, f))
+                break
+            except (OSError, IOError, Exception) as e:
+                if type(e).__name__ not in ("ArrowInvalid", "OSError", "IOError"):
+                    raise
+                continue
+        if fov_data is None or missing_col not in fov_data.columns.values:
+            os.mkdir(temp_path)
+            return io_utils.remove_file_extensions(fov_files)
+        return []
+    data_files = set(io_utils.list_files(data_path, substrs=".feather"))
+    temp_files = set(io_utils.list_files(temp_path, substrs=".feather"))
+    return io_utils.remove_file_extensions(list(data_files - temp_files))
