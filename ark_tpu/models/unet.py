@@ -1,0 +1,188 @@
+"""Mesmer-style segmentation network: ResNet50 + FPN + semantic heads, in flax.
+
+Replaces the reference's remote DeepCell/Mesmer REST service
+(`src/ark/utils/deepcell_service_utils.py:95-343` — zip upload → GPU predict →
+poll → download) with an in-process JAX model so FOV batches run on TPU.
+
+Architecture follows the published Mesmer configuration (deepcell-tf
+PanopticNet): a ResNet50 encoder, a feature-pyramid decoder, and four semantic
+heads — for each compartment (whole-cell, nuclear) an inner-distance
+regression head (1 channel, ReLU) and a pixelwise classification head
+(3 classes: interior / border / background, softmax). Input is a 2-channel
+(nuclear, membrane) image batch in NHWC. Weights are random-initialized unless
+loaded from an `.npz` (the zero-egress build cannot fetch published weights;
+`load_params_npz` accepts a converted checkpoint).
+
+TPU notes: all convs run in bfloat16 by default with float32 params/outputs
+(MXU-friendly); shapes are static; the whole forward jits into one program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BottleneckBlock(nn.Module):
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    projection: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = functools.partial(nn.BatchNorm, use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        residual = x
+        y = nn.Conv(self.features, (1, 1), strides=self.strides,
+                    use_bias=False, dtype=self.dtype)(x)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(y)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype)(y)
+        y = norm(scale_init=nn.initializers.zeros)(y)
+        if self.projection or residual.shape[-1] != self.features * 4:
+            residual = nn.Conv(self.features * 4, (1, 1),
+                               strides=self.strides, use_bias=False,
+                               dtype=self.dtype)(residual)
+            residual = norm()(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet50Backbone(nn.Module):
+    """Standard ResNet50 stages; returns C2..C5 feature maps (strides 4..32)."""
+    dtype: Any = jnp.bfloat16
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = functools.partial(nn.BatchNorm, use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype)(x)
+        x = norm()(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        feats = []
+        for i, n_blocks in enumerate(self.stage_sizes):
+            features = 64 * (2 ** i)
+            strides = (1, 1) if i == 0 else (2, 2)
+            x = BottleneckBlock(features, strides=strides, projection=True,
+                                dtype=self.dtype)(x, train)
+            for _ in range(n_blocks - 1):
+                x = BottleneckBlock(features, dtype=self.dtype)(x, train)
+            feats.append(x)
+        return feats  # [C2, C3, C4, C5]
+
+
+def _upsample(x, factor: int):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * factor, w * factor, c), "nearest")
+
+
+class FPN(nn.Module):
+    """Top-down feature pyramid: laterals + upsample-add, 256 channels."""
+    channels: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats):
+        laterals = [nn.Conv(self.channels, (1, 1), dtype=self.dtype)(f)
+                    for f in feats]
+        out = [laterals[-1]]
+        for lat in laterals[-2::-1]:
+            out.append(lat + _upsample(out[-1], 2))
+        out = out[::-1]  # [P2, P3, P4, P5]
+        return [nn.Conv(self.channels, (3, 3), padding="SAME",
+                        dtype=self.dtype)(p) for p in out]
+
+
+class SemanticHead(nn.Module):
+    """Upsample P2 to input resolution, then predict n_classes maps."""
+    n_classes: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, p2, out_hw):
+        x = p2
+        # 2 conv+upsample steps: stride 4 -> 1
+        for _ in range(2):
+            x = nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = _upsample(x, 2)
+        x = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.relu(x)
+        return nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32)(x)
+
+
+class PanopticNet(nn.Module):
+    """Mesmer-configuration segmentation net.
+
+    Output dict per compartment c in {'whole_cell', 'nuclear'}:
+      `<c>_inner_distance`: (B, H, W, 1) ReLU regression of cell-center distance
+      `<c>_pixelwise`: (B, H, W, 3) softmax over interior/border/background
+    """
+    compartments: Sequence[str] = ("whole_cell", "nuclear")
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jax.Array]:
+        x = x.astype(self.dtype)
+        feats = ResNet50Backbone(dtype=self.dtype)(x, train)
+        pyramid = FPN(dtype=self.dtype)(feats)
+        p2 = pyramid[0]
+        out = {}
+        for comp in self.compartments:
+            inner = SemanticHead(1, dtype=self.dtype, name=f"{comp}_inner")(
+                p2, x.shape[1:3])
+            pixelwise = SemanticHead(3, dtype=self.dtype,
+                                     name=f"{comp}_pixelwise")(p2, x.shape[1:3])
+            out[f"{comp}_inner_distance"] = nn.relu(inner)
+            out[f"{comp}_pixelwise"] = jax.nn.softmax(pixelwise, axis=-1)
+        return out
+
+
+def init_mesmer(seed: int = 0, input_shape=(1, 256, 256, 2),
+                dtype=jnp.bfloat16):
+    """Initialize a Mesmer PanopticNet; returns (model, variables)."""
+    model = PanopticNet(dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(seed),
+                           jnp.zeros(input_shape, jnp.float32), train=False)
+    return model, variables
+
+
+def load_params_npz(path: str) -> Dict:
+    """Load a flattened param dict ('a/b/c' keys) from .npz into a pytree."""
+    flat = dict(np.load(path))
+    tree: Dict = {}
+    for key, val in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+    return tree
+
+
+def save_params_npz(path: str, variables: Dict):
+    """Save a variables pytree as a flattened .npz."""
+    flat = {}
+
+    def rec(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(v, f"{prefix}/{k}" if prefix else k)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    rec(variables, "")
+    np.savez(path, **flat)
