@@ -56,11 +56,16 @@ def _bench_cpu_numpy(n, c, k, chunk=1_000_000):
     data = rng.random((n, c)).astype(np.float32)
     w = rng.random((k, c)).astype(np.float32)
     w2 = (w * w).sum(1)
+
+    def run():
+        for i in range(0, n, chunk):
+            x = data[i:i + chunk]
+            d = w2[None, :] - 2.0 * (x @ w.T)
+            d.argmin(axis=1)
+
+    run()  # warm allocator / BLAS
     t0 = time.perf_counter()
-    for i in range(0, n, chunk):
-        x = data[i:i + chunk]
-        d = w2[None, :] - 2.0 * (x @ w.T)
-        d.argmin(axis=1)
+    run()
     dt = time.perf_counter() - t0
     return n / dt / 1e6
 
