@@ -1,0 +1,75 @@
+"""Small morphology ops: boundaries, erosion, small-object removal.
+
+Device (XLA) implementations of the skimage morphology bits the reference
+uses: `find_boundaries` (`segmentation_utils.py:218`, `data_utils.py:70-84`),
+binary erosion, and `remove_small_objects` (`segmentation_utils.py:88`)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "connectivity"))
+def find_boundaries(labels: jax.Array, connectivity: int = 1,
+                    mode: str = "inner") -> jax.Array:
+    """Boundary-pixel mask of a label image (skimage semantics).
+
+    mode='inner': pixels of an object adjacent to a different label;
+    mode='outer': background/object pixels adjacent to a different value;
+    mode='thick': union of both sides.
+    """
+    lab = labels.astype(jnp.int32)
+    h, w = lab.shape
+    pad = jnp.pad(lab, 1, mode="edge")
+    shifts = [pad[:-2, 1:-1], pad[2:, 1:-1], pad[1:-1, :-2], pad[1:-1, 2:]]
+    if connectivity == 2:
+        shifts += [pad[:-2, :-2], pad[:-2, 2:], pad[2:, :-2], pad[2:, 2:]]
+    differs = jnp.zeros((h, w), bool)
+    for s in shifts:
+        differs |= s != lab
+    if mode == "inner":
+        return differs & (lab > 0)
+    if mode == "outer":
+        # skimage outer: boundary on the background side (plus label-label)
+        any_bg_neighbor = jnp.zeros((h, w), bool)
+        for s in shifts:
+            any_bg_neighbor |= (s != lab) & ((s == 0) | (lab == 0))
+        return any_bg_neighbor
+    return differs  # thick
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def binary_erosion(mask: jax.Array, iterations: int = 1) -> jax.Array:
+    """4-connected binary erosion (cross structuring element)."""
+    m = mask.astype(bool)
+    for _ in range(iterations):
+        pad = jnp.pad(m, 1, constant_values=False)
+        m = (pad[1:-1, 1:-1] & pad[:-2, 1:-1] & pad[2:, 1:-1]
+             & pad[1:-1, :-2] & pad[1:-1, 2:])
+    return m
+
+
+def remove_small_objects(labels: np.ndarray, min_size: int = 5) -> np.ndarray:
+    """Zero out labels with fewer than min_size pixels (host, bincount)."""
+    labels = np.asarray(labels)
+    counts = np.bincount(labels.reshape(-1))
+    small = np.flatnonzero(counts < min_size)
+    out = labels.copy()
+    out[np.isin(out, small)] = 0
+    return out
+
+
+def erode_mask(mask: np.ndarray, connectivity: int = 2) -> np.ndarray:
+    """Erode each labeled object by its boundary (reference
+    `data_utils.py:70-84`: label image minus its inner boundaries)."""
+    import jax.numpy as jnp
+    boundaries = np.asarray(find_boundaries(jnp.asarray(mask),
+                                            connectivity=connectivity,
+                                            mode="inner"))
+    out = np.asarray(mask).copy()
+    out[boundaries] = 0
+    return out

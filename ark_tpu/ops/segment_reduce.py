@@ -1,0 +1,207 @@
+"""Segment reductions over label images: the TPU replacement for regionprops.
+
+The reference's cell-table engine loops over cells in Python, gathering each
+cell's pixel coordinates and calling per-cell reducers
+(`marker_quantification.py:316-348` hot loop; skimage `regionprops_table` for
+base morphology). Here every per-cell quantity is a *segment reduction* over
+the dense (H·W)-pixel arrays — `jax.ops.segment_sum` scatter-adds keyed by the
+label image — so one FOV's full feature set is a handful of fused device
+passes regardless of cell count:
+
+  * cell sizes                      -> segment_sum of 1
+  * channel sums / positive pixels  -> segment_sum of (values | values>t)
+  * centroids, second moments       -> segment_sum of coordinate monomials
+  * ellipse features                -> closed-form from central moments
+  * perimeter                       -> 4-direction Cauchy–Crofton boundary
+                                       crossing counts (exact for disks, ~5%
+                                       low for squares; the reference's
+                                       chain-code measure differs by a few %)
+  * center-weighted sums            -> two passes: centroid + inf-norm weights
+  * euler number                    -> Gray bit-quad counts per label
+
+All functions take `num_segments` = max label + 1 (static for jit); label 0 is
+background and returned at index 0 so callers slice [1:].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SQRT2 = 1.4142135623730951
+
+
+def _flat(labels):
+    return labels.reshape(-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def cell_sizes(labels: jax.Array, num_segments: int) -> jax.Array:
+    """Pixel count per label; (num_segments,)."""
+    return jax.ops.segment_sum(jnp.ones(labels.size, jnp.float32),
+                               _flat(labels), num_segments=num_segments)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def channel_sums(images: jax.Array, labels: jax.Array,
+                 num_segments: int) -> jax.Array:
+    """Total intensity per (label, channel); (num_segments, C)."""
+    h, w, c = images.shape
+    return jax.ops.segment_sum(images.reshape(-1, c).astype(jnp.float32),
+                               _flat(labels), num_segments=num_segments)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def positive_pixel_counts(images: jax.Array, labels: jax.Array,
+                          num_segments: int, threshold: float = 0.0) -> jax.Array:
+    """Count of pixels with value > threshold per (label, channel)."""
+    h, w, c = images.shape
+    pos = (images.reshape(-1, c) > threshold).astype(jnp.float32)
+    return jax.ops.segment_sum(pos, _flat(labels), num_segments=num_segments)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def centroids(labels: jax.Array, num_segments: int) -> jax.Array:
+    """(num_segments, 2) centroid (row, col) per label; NaN for empty."""
+    h, w = labels.shape
+    rr = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
+    cc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
+    seg = _flat(labels)
+    m00 = jax.ops.segment_sum(jnp.ones_like(rr), seg, num_segments=num_segments)
+    m10 = jax.ops.segment_sum(rr, seg, num_segments=num_segments)
+    m01 = jax.ops.segment_sum(cc, seg, num_segments=num_segments)
+    return jnp.stack([m10, m01], axis=1) / m00[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def center_weighted_sums(images: jax.Array, labels: jax.Array,
+                         num_segments: int) -> jax.Array:
+    """Center-weighted intensity per (label, channel).
+
+    Weight per pixel = 1 − d∞(pixel, cell centroid) / (max-in-cell d∞ + 1) —
+    the reference's `center_weighting_extraction`
+    (`signal_extraction.py:29-56`) as two device passes: centroid + max-dist
+    segment reductions, then a weighted segment_sum.
+    """
+    h, w, c = images.shape
+    seg = _flat(labels)
+    cent = centroids(labels, num_segments)                        # (S, 2)
+    rr = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
+    cc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
+    own = jnp.take(cent, seg, axis=0)                             # (N, 2)
+    dist = jnp.maximum(jnp.abs(rr - own[:, 0]), jnp.abs(cc - own[:, 1]))
+    dmax = jax.ops.segment_max(dist, seg, num_segments=num_segments)
+    weights = 1.0 - dist / (jnp.take(dmax, seg) + 1.0)
+    vals = images.reshape(-1, c).astype(jnp.float32) * weights[:, None]
+    return jax.ops.segment_sum(vals, seg, num_segments=num_segments)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def crofton_perimeter(labels: jax.Array, num_segments: int) -> jax.Array:
+    """Per-label perimeter by the 4-direction Cauchy–Crofton estimator.
+
+    Counts label-boundary crossings along rows, columns, and both diagonals
+    (image border counts as background); P = (π/8)(n_h + n_v + (n_d1+n_d2)/√2).
+    """
+    lab = jnp.pad(labels.astype(jnp.int32), 1, constant_values=0)
+
+    def crossings(a, b):
+        """Add each a!=b crossing to both participating labels."""
+        diff = (a != b)
+        n = jnp.zeros((num_segments,), jnp.float32)
+        n = n + jax.ops.segment_sum(
+            diff.reshape(-1).astype(jnp.float32), a.reshape(-1),
+            num_segments=num_segments)
+        n = n + jax.ops.segment_sum(
+            diff.reshape(-1).astype(jnp.float32), b.reshape(-1),
+            num_segments=num_segments)
+        return n
+
+    n_h = crossings(lab[:, :-1], lab[:, 1:])
+    n_v = crossings(lab[:-1, :], lab[1:, :])
+    n_d1 = crossings(lab[:-1, :-1], lab[1:, 1:])
+    n_d2 = crossings(lab[:-1, 1:], lab[1:, :-1])
+    per = (jnp.pi / 8.0) * (n_h + n_v + (n_d1 + n_d2) / _SQRT2)
+    return per.at[0].set(0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def euler_numbers(labels: jax.Array, num_segments: int) -> jax.Array:
+    """Per-label Euler number (objects − holes), 8-connectivity, via Gray
+    bit-quad counts: E = (Q1 − Q3 − 2·Qd) / 4 computed per label."""
+    lab = jnp.pad(labels.astype(jnp.int32), 1, constant_values=0)
+    a, b = lab[:-1, :-1], lab[:-1, 1:]
+    c, d = lab[1:, :-1], lab[1:, 1:]
+    out = jnp.zeros((num_segments,), jnp.float32)
+    quads = [a, b, c, d]
+    for slot in range(4):
+        cand = quads[slot]
+        # count candidate once per quad: only from its first occurrence slot
+        first = jnp.ones_like(cand, dtype=bool)
+        for prev in range(slot):
+            first &= quads[prev] != cand
+        i0, i1 = (a == cand), (b == cand)
+        i2, i3 = (c == cand), (d == cand)
+        n_in = (i0.astype(jnp.int32) + i1.astype(jnp.int32)
+                + i2.astype(jnp.int32) + i3.astype(jnp.int32))
+        diag = (i0 & i3 & ~i1 & ~i2) | (i1 & i2 & ~i0 & ~i3)
+        q1 = (n_in == 1).astype(jnp.float32)
+        q3 = (n_in == 3).astype(jnp.float32)
+        qd = diag.astype(jnp.float32)
+        contrib = jnp.where(first, (q1 - q3 - 2.0 * qd) / 4.0, 0.0)
+        out = out + jax.ops.segment_sum(contrib.reshape(-1),
+                                        cand.reshape(-1),
+                                        num_segments=num_segments)
+    return out.at[0].set(0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def moment_features(labels: jax.Array, num_segments: int) -> dict:
+    """Moments-based morphology per label (skimage regionprops semantics).
+
+    Returns dict of (num_segments,) arrays: area, centroid-0, centroid-1,
+    major_axis_length, minor_axis_length, eccentricity, equivalent_diameter,
+    orientation, perimeter.
+    """
+    h, w = labels.shape
+    seg = _flat(labels)
+    rr = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
+    cc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
+    ones = jnp.ones_like(rr)
+
+    def ssum(v):
+        return jax.ops.segment_sum(v, seg, num_segments=num_segments)
+
+    m00 = ssum(ones)
+    m10, m01 = ssum(rr), ssum(cc)
+    m20, m02, m11 = ssum(rr * rr), ssum(cc * cc), ssum(rr * cc)
+    safe = jnp.maximum(m00, 1.0)
+    cy, cx = m10 / safe, m01 / safe
+    mu20 = m20 / safe - cy * cy
+    mu02 = m02 / safe - cx * cx
+    mu11 = m11 / safe - cy * cx
+
+    common = jnp.sqrt(jnp.maximum(4.0 * mu11 ** 2 + (mu20 - mu02) ** 2, 0.0))
+    l1 = (mu20 + mu02 + common) / 2.0
+    l2 = (mu20 + mu02 - common) / 2.0
+    l2 = jnp.maximum(l2, 0.0)
+    major = 4.0 * jnp.sqrt(jnp.maximum(l1, 0.0))
+    minor = 4.0 * jnp.sqrt(l2)
+    ecc = jnp.sqrt(jnp.maximum(1.0 - l2 / jnp.maximum(l1, 1e-12), 0.0))
+    eq_diam = jnp.sqrt(4.0 * m00 / jnp.pi)
+    orientation = 0.5 * jnp.arctan2(-2.0 * mu11, mu02 - mu20)
+
+    return {
+        "area": m00,
+        "centroid-0": cy,
+        "centroid-1": cx,
+        "major_axis_length": major,
+        "minor_axis_length": minor,
+        "eccentricity": ecc,
+        "equivalent_diameter": eq_diam,
+        "orientation": orientation,
+        "perimeter": crofton_perimeter(labels, num_segments),
+    }

@@ -1,0 +1,388 @@
+"""Single-cell marker quantification: the cell-table engine.
+
+Capability parity with reference
+`src/ark/segmentation/marker_quantification.py` (compute_marker_counts
+:185-350, create_marker_count_matrices :353-452, generate_cell_table
+:455-593) with the TPU-first redesign of SURVEY.md §7 step 4: the reference's
+per-cell Python hot loop (:316-348) and skimage regionprops become whole-FOV
+segment reductions on device (ark_tpu.ops.segment_reduce); only convex-hull
+geometry stays on host (ark_tpu.ops.convex). Output feature names/order match
+the reference cell-table schema (docs/_rtd/data_types.md)."""
+
+from __future__ import annotations
+
+import copy
+import re
+import warnings
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ark_tpu import settings
+from ark_tpu.io import io_utils, load_utils
+from ark_tpu.io.misc_utils import verify_in_list, verify_same_elements
+from ark_tpu.ops import convex as convex_ops
+from ark_tpu.ops import segment_reduce
+from ark_tpu.segmentation import segmentation_utils
+from ark_tpu.segmentation.regionprops_extraction import (CONVEX_PROPS,
+                                                         REGIONPROPS_FUNCTION,
+                                                         RegionProp)
+from ark_tpu.segmentation.signal_extraction import (EXTRACTION_FUNCTION,
+                                                    EXTRACTION_FUNCTION_BATCH)
+from ark_tpu.utils.labeled_array import DataArray
+
+# moment-derived props computed vectorized (no per-cell work)
+_VECTOR_SINGLE_COMP = {"major_minor_axis_ratio", "perim_square_over_area",
+                       "major_axis_equiv_diam_ratio", "convex_hull_resid"}
+
+
+def _compartment_features(labels: np.ndarray, images, cell_ids: np.ndarray,
+                          regionprops_names: List[str],
+                          regionprops_single_comp: List[str],
+                          extraction: str, sig_kwargs, reg_kwargs):
+    """(len(cell_ids), n_features) matrix for one compartment's label image.
+
+    Column order: [cell_size] + channels + regionprops_names.
+    """
+    n_cells = len(cell_ids)
+    n_seg = int(labels.max()) + 1 if labels.size else 1
+    lab_j = jnp.asarray(labels)
+
+    feats = {k: np.asarray(v)
+             for k, v in segment_reduce.moment_features(lab_j, n_seg).items()}
+    sizes = feats["area"]
+    counts = np.asarray(EXTRACTION_FUNCTION_BATCH[extraction](
+        jnp.asarray(np.asarray(images), jnp.float32), lab_j, n_seg,
+        **sig_kwargs))
+
+    need_convex = bool(
+        ({"convex_area"} & set(regionprops_names))
+        or (CONVEX_PROPS & set(regionprops_single_comp)))
+    convex = None
+    if need_convex:
+        convex = convex_ops.convex_features(labels, cell_ids)
+
+    idx = cell_ids  # device arrays are indexed by raw label value
+    columns = {}
+    columns["label"] = cell_ids.astype(float)
+    for name in ["area", "eccentricity", "major_axis_length",
+                 "minor_axis_length", "perimeter", "equivalent_diameter",
+                 "centroid-0", "centroid-1"]:
+        columns[name] = feats[name][idx]
+    if convex is not None:
+        columns["convex_area"] = convex["convex_area"]
+
+    # vectorized derived props
+    with np.errstate(divide="ignore", invalid="ignore"):
+        columns["major_minor_axis_ratio"] = np.where(
+            columns["minor_axis_length"] == 0, np.nan,
+            columns["major_axis_length"] / columns["minor_axis_length"])
+        columns["perim_square_over_area"] = (
+            columns["perimeter"] ** 2 / columns["area"])
+        columns["major_axis_equiv_diam_ratio"] = (
+            columns["major_axis_length"] / columns["equivalent_diameter"])
+        if convex is not None:
+            columns["convex_hull_resid"] = np.where(
+                columns["convex_area"] > 0,
+                (columns["convex_area"] - columns["area"])
+                / np.maximum(columns["convex_area"], 1), 0.0)
+
+    # per-cell (host) derived props: anything not vectorized above
+    host_props = [p for p in regionprops_single_comp
+                  if p not in _VECTOR_SINGLE_COMP]
+    if host_props:
+        for p in host_props:
+            columns[p] = np.zeros(n_cells)
+        for i, cid in enumerate(cell_ids):
+            mask_info = convex["masks"][i] if convex is not None else None
+            if mask_info is None:
+                coords = np.argwhere(labels == cid)
+                if coords.size == 0:
+                    continue
+                mask, hull, origin = convex_ops.convex_image(coords)
+            else:
+                mask, hull, origin = mask_info
+            prop = RegionProp(
+                label=int(cid), area=float(columns["area"][i]),
+                centroid=(float(columns["centroid-0"][i]),
+                          float(columns["centroid-1"][i])),
+                major_axis_length=float(columns["major_axis_length"][i]),
+                minor_axis_length=float(columns["minor_axis_length"][i]),
+                perimeter=float(columns["perimeter"][i]),
+                equivalent_diameter=float(columns["equivalent_diameter"][i]),
+                eccentricity=float(columns["eccentricity"][i]),
+                convex_area=float(columns.get("convex_area",
+                                              np.zeros(n_cells))[i]),
+                image=mask, convex_image=hull, bbox_origin=origin)
+            for p in host_props:
+                columns[p][i] = REGIONPROPS_FUNCTION[p](prop, **reg_kwargs)
+
+    # assemble in schema order
+    n_channels = counts.shape[1]
+    out = np.zeros((n_cells, 1 + n_channels + len(regionprops_names)))
+    out[:, 0] = sizes[idx]
+    out[:, 1:1 + n_channels] = counts[idx]
+    for j, name in enumerate(regionprops_names):
+        if name in columns:
+            out[:, 1 + n_channels + j] = columns[name]
+    return out
+
+
+def compute_marker_counts(input_images, segmentation_labels,
+                          nuclear_counts=False,
+                          regionprops_base=None, regionprops_single_comp=None,
+                          regionprops_multi_comp=None,
+                          split_large_nuclei=False,
+                          extraction="total_intensity",
+                          fast_extraction=False, **kwargs) -> DataArray:
+    """Extract the full per-cell feature array for one FOV.
+
+    input_images: (rows, cols, channels) DataArray;
+    segmentation_labels: (rows, cols, compartments) DataArray.
+    Returns a (compartments × cell_id × features) DataArray matching the
+    reference's schema (`marker_quantification.py:185-350`).
+    """
+    regionprops_base = copy.deepcopy(
+        settings.REGIONPROPS_BASE) if regionprops_base is None \
+        else copy.deepcopy(regionprops_base)
+    regionprops_single_comp = copy.deepcopy(
+        settings.REGIONPROPS_SINGLE_COMP) if regionprops_single_comp is None \
+        else copy.deepcopy(regionprops_single_comp)
+    regionprops_multi_comp = copy.deepcopy(
+        settings.REGIONPROPS_MULTI_COMP) if regionprops_multi_comp is None \
+        else copy.deepcopy(regionprops_multi_comp)
+
+    verify_in_list(extraction=extraction,
+                   extraction_options=list(EXTRACTION_FUNCTION.keys()))
+    if regionprops_single_comp:
+        verify_in_list(extras_props=regionprops_single_comp,
+                       props_options=list(REGIONPROPS_FUNCTION.keys()))
+
+    if fast_extraction:
+        regionprops_base = [settings.POST_CHANNEL_COL, "centroid"]
+        regionprops_single_comp = []
+        regionprops_multi_comp = []
+
+    # enforce label first
+    if settings.POST_CHANNEL_COL in regionprops_base:
+        regionprops_base.remove(settings.POST_CHANNEL_COL)
+    regionprops_base.insert(0, settings.POST_CHANNEL_COL)
+    if not any("centroid" in r for r in regionprops_base):
+        regionprops_base.append("centroid")
+
+    regionprops_names = [r for r in regionprops_base if r != "coords"]
+    if "centroid" in regionprops_names:
+        regionprops_names.remove("centroid")
+        regionprops_names += ["centroid-0", "centroid-1"]
+    regionprops_names.extend(regionprops_single_comp)
+    single_names = list(regionprops_names)  # before multi-comp names appended
+
+    compartments = list(segmentation_labels.coords["compartments"])
+    cell_labels = segmentation_labels.sel(compartments="whole_cell").values
+    cell_labels = np.asarray(cell_labels).astype(np.int32)
+    unique_cell_ids = np.unique(cell_labels)
+    unique_cell_ids = unique_cell_ids[unique_cell_ids != 0]
+    if len(unique_cell_ids) == 0:
+        warnings.warn("No cells found in the provided image")
+
+    channel_names = list(input_images.coords["channels"])
+    feature_names = ([settings.PRE_CHANNEL_COL] + channel_names
+                     + regionprops_names)
+    if nuclear_counts and regionprops_multi_comp:
+        feature_names = feature_names + regionprops_multi_comp
+        regionprops_names = regionprops_names + regionprops_multi_comp
+
+    marker_counts = DataArray(
+        np.zeros((len(compartments), len(unique_cell_ids),
+                  len(feature_names))),
+        coords={"compartments": compartments,
+                "cell_id": unique_cell_ids.astype(int),
+                "features": feature_names})
+
+    sig_kwargs = kwargs.get("signal_kwargs", {})
+    reg_kwargs = kwargs.get("regionprops_kwargs", {})
+
+    if len(unique_cell_ids) > 0:
+        wc = _compartment_features(
+            cell_labels, input_images.values, unique_cell_ids, single_names,
+            regionprops_single_comp, extraction, sig_kwargs, reg_kwargs)
+        marker_counts.values[compartments.index("whole_cell"), :, :wc.shape[1]] = wc
+
+    if nuclear_counts and len(unique_cell_ids) > 0:
+        nuc_labels = np.asarray(
+            segmentation_labels.sel(compartments="nuclear").values
+        ).astype(np.int32)
+        if split_large_nuclei:
+            nuc_labels = segmentation_utils.split_large_nuclei(
+                cell_segmentation_labels=cell_labels,
+                nuc_segmentation_labels=nuc_labels,
+                cell_ids=unique_cell_ids)
+        nuc_of_cell = segmentation_utils.match_nuclei_to_cells(cell_labels,
+                                                               nuc_labels)
+        if not nuc_of_cell:
+            warnings.warn("No nuclei found in the provided image")
+        else:
+            matched_cells = np.array(
+                [c for c in unique_cell_ids if int(c) in nuc_of_cell])
+            matched_nucs = np.array(
+                [nuc_of_cell[int(c)] for c in matched_cells])
+            nuc_feats = _compartment_features(
+                nuc_labels, input_images.values, matched_nucs, single_names,
+                regionprops_single_comp, extraction, sig_kwargs, reg_kwargs)
+            comp_idx = compartments.index("nuclear")
+            row_of_cell = {int(c): i for i, c in enumerate(unique_cell_ids)}
+            rows = np.array([row_of_cell[int(c)] for c in matched_cells])
+            marker_counts.values[comp_idx, rows, :nuc_feats.shape[1]] = nuc_feats
+            # nuclear rows keep the *cell* id in the label feature column
+            label_col = feature_names.index(settings.POST_CHANNEL_COL)
+            marker_counts.values[comp_idx, rows, label_col] = matched_nucs
+            for rn in regionprops_multi_comp:
+                marker_counts = REGIONPROPS_FUNCTION[rn](marker_counts,
+                                                         **reg_kwargs)
+    return marker_counts
+
+
+def create_marker_count_matrices(segmentation_labels, image_data,
+                                 nuclear_counts=False,
+                                 split_large_nuclei=False,
+                                 extraction="total_intensity",
+                                 fast_extraction=False, **kwargs):
+    """One FOV's (size-normalized, arcsinh-transformed) cell-table pair
+    (reference :353-452)."""
+    if not isinstance(segmentation_labels, DataArray):
+        raise ValueError("Incorrect data type for segmentation_labels, "
+                         "expecting DataArray")
+    if not isinstance(image_data, DataArray):
+        raise ValueError("Incorrect data type for image_data, expecting "
+                         "DataArray")
+    if nuclear_counts:
+        verify_in_list(nuclear_label="nuclear",
+                       compartment_names=list(
+                           segmentation_labels.coords["compartments"]))
+    verify_in_list(extraction=extraction,
+                   extraction_options=list(EXTRACTION_FUNCTION.keys()))
+    verify_same_elements(
+        segmentation_labels_fovs=list(segmentation_labels.coords["fovs"]),
+        img_data_fovs=list(image_data.coords["fovs"]))
+
+    fov = list(segmentation_labels.coords["fovs"])[0]
+    label = segmentation_labels.sel(fovs=fov)
+    marker_counts = compute_marker_counts(
+        image_data.sel(fovs=fov), label, nuclear_counts=nuclear_counts,
+        split_large_nuclei=split_large_nuclei, extraction=extraction,
+        fast_extraction=fast_extraction, **kwargs)
+
+    marker_counts_norm = segmentation_utils.transform_expression_matrix(
+        marker_counts, transform="size_norm")
+    marker_counts_arcsinh = segmentation_utils.transform_expression_matrix(
+        marker_counts_norm, transform="arcsinh")
+
+    features = list(marker_counts.coords["features"])
+    normalized = pd.DataFrame(
+        data=marker_counts_norm.sel(compartments="whole_cell").values,
+        columns=features)
+    arcsinh = pd.DataFrame(data=marker_counts_arcsinh.values[0],
+                           columns=features)
+    normalized[settings.CELL_LABEL] = normalized[settings.CELL_LABEL].astype(np.int32)
+    arcsinh[settings.CELL_LABEL] = arcsinh[settings.CELL_LABEL].astype(np.int32)
+
+    if nuclear_counts:
+        nuc_column_names = [f + "_nuclear" for f in features]
+        normalized_nuc = pd.DataFrame(
+            data=marker_counts_norm.sel(compartments="nuclear").values,
+            columns=nuc_column_names)
+        normalized = pd.concat((normalized, normalized_nuc), axis=1)
+        arcsinh_nuc = pd.DataFrame(
+            data=marker_counts_arcsinh.sel(compartments="nuclear").values,
+            columns=nuc_column_names)
+        arcsinh = pd.concat((arcsinh, arcsinh_nuc), axis=1)
+
+    normalized["fov"] = fov
+    arcsinh["fov"] = fov
+    return normalized, arcsinh
+
+
+def generate_cell_table(segmentation_dir, tiff_dir, img_sub_folder="TIFs",
+                        is_mibitiff=False, fovs=None,
+                        extraction="total_intensity", nuclear_counts=False,
+                        fast_extraction=False, mask_types=None,
+                        add_underscore=True, **kwargs):
+    """Cohort cell-table driver: per FOV × mask type, extract + concatenate
+    (reference :455-593)."""
+    mask_types = ["whole_cell"] if mask_types is None else mask_types
+    if fovs is None:
+        fovs = io_utils.list_folders(tiff_dir)
+    fovs = io_utils.remove_file_extensions(fovs)
+    verify_in_list(extraction=extraction,
+                   extraction_options=list(EXTRACTION_FUNCTION.keys()))
+    fovs = sorted(fovs)
+
+    normalized_tables, arcsinh_tables = [], []
+    for fov_name in fovs:
+        image_data = load_utils.load_imgs_from_tree(
+            data_dir=tiff_dir, img_sub_folder=img_sub_folder, fovs=[fov_name])
+        for mask_type in mask_types:
+            if mask_type is None:
+                mask_type, mask_suff = "cell_mask", None
+            else:
+                mask_suff = "_" + mask_type if add_underscore else mask_type
+            fov_mask_name = (fov_name + mask_suff + ".tiff") if mask_suff \
+                else fov_name + ".tiff"
+            current_labels_cell = load_utils.load_imgs_from_dir(
+                data_dir=segmentation_dir, files=[fov_mask_name],
+                xr_dim_name="compartments", xr_channel_names=[mask_type],
+                trim_suffix=mask_suff)
+            compartments = ["whole_cell"]
+            seg_vals = current_labels_cell.values
+
+            if nuclear_counts and mask_type == "whole_cell":
+                current_labels_nuc = load_utils.load_imgs_from_dir(
+                    data_dir=segmentation_dir,
+                    files=[fov_name + "_nuclear.tiff"],
+                    xr_dim_name="compartments", xr_channel_names=["nuclear"],
+                    trim_suffix="_nuclear")
+                compartments = ["whole_cell", "nuclear"]
+                seg_vals = np.concatenate(
+                    (current_labels_cell.values, current_labels_nuc.values),
+                    axis=-1)
+            else:
+                # a single compartment named whole_cell regardless of mask type
+                compartments = ["whole_cell"]
+
+            current_labels = DataArray(
+                seg_vals,
+                coords={"fovs": list(current_labels_cell.coords["fovs"]),
+                        "rows": current_labels_cell.coords["rows"],
+                        "cols": current_labels_cell.coords["cols"],
+                        "compartments": compartments})
+
+            normalized, arcsinh = create_marker_count_matrices(
+                segmentation_labels=current_labels, image_data=image_data,
+                extraction=extraction, nuclear_counts=nuclear_counts,
+                fast_extraction=fast_extraction, **kwargs)
+            mask_type_str = "whole_cell" \
+                if mask_type == "final_cells_remaining" else mask_type
+            normalized["mask_type"] = mask_type_str
+            arcsinh["mask_type"] = mask_type_str
+            normalized_tables.append(normalized)
+            arcsinh_tables.append(arcsinh)
+
+    return (pd.concat(normalized_tables),
+            pd.concat(arcsinh_tables))
+
+
+def get_existing_mask_types(fov_names: List[str],
+                            mask_names: List[str]) -> List[str]:
+    """Unique mask-type suffixes present for the given FOVs (reference
+    :596-621)."""
+    stripped = io_utils.remove_file_extensions(mask_names)
+    result = []
+    for prefix in fov_names:
+        prefix_tokens = list(filter(bool, re.split("[^a-zA-Z0-9]", prefix)))
+        for item in stripped:
+            item_tokens = list(filter(bool, re.split("[^a-zA-Z0-9]", item)))
+            if set(prefix_tokens).issubset(item_tokens):
+                result.append(item[len(prefix):])
+    return list(set(item.lstrip("_") for item in result))

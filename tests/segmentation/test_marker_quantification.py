@@ -1,0 +1,164 @@
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ark_tpu import settings
+from ark_tpu.io.image_utils import save_image
+from ark_tpu.segmentation import marker_quantification, segmentation_utils
+from ark_tpu.utils.labeled_array import DataArray
+
+from tests import test_utils
+
+CHANNELS = ["chan0", "chan1", "chan2"]
+
+
+def _fov_arrays(rng, shape=(64, 64), n_cells=15):
+    labels = test_utils.make_labels_image(rng, shape=shape, n_cells=n_cells)
+    imgs = test_utils.make_channel_images(rng, labels, CHANNELS)
+    input_images = DataArray(imgs, coords={"rows": np.arange(shape[0]),
+                                           "cols": np.arange(shape[1]),
+                                           "channels": CHANNELS})
+    seg = DataArray(labels[..., None],
+                    coords={"rows": np.arange(shape[0]),
+                            "cols": np.arange(shape[1]),
+                            "compartments": ["whole_cell"]})
+    return labels, imgs, input_images, seg
+
+
+def test_compute_marker_counts_total_intensity(rng):
+    labels, imgs, input_images, seg = _fov_arrays(rng)
+    mc = marker_quantification.compute_marker_counts(input_images, seg)
+    feats = list(mc.coords["features"])
+    # schema: cell_size, channels, then label first of regionprops
+    assert feats[0] == settings.CELL_SIZE
+    assert feats[1:4] == CHANNELS
+    assert feats[4] == settings.CELL_LABEL
+    for name in settings.REGIONPROPS_SINGLE_COMP:
+        assert name in feats
+    assert "centroid-0" in feats and "centroid-1" in feats
+
+    ids = list(mc.coords["cell_id"])
+    for cid in ids[:5]:
+        mask = labels == cid
+        row = mc.sel(compartments="whole_cell", cell_id=cid)
+        assert float(row.sel(features=settings.CELL_SIZE).values) == mask.sum()
+        for ci, ch in enumerate(CHANNELS):
+            np.testing.assert_allclose(
+                float(row.sel(features=ch).values),
+                imgs[..., ci][mask].sum(), rtol=1e-3)
+        # centroid
+        coords = np.argwhere(mask)
+        np.testing.assert_allclose(
+            [float(row.sel(features="centroid-0").values),
+             float(row.sel(features="centroid-1").values)],
+            coords.mean(0), atol=0.01)
+        # convex area >= area for disks
+        assert float(row.sel(features="convex_area").values) >= mask.sum() - 1
+
+
+def test_compute_marker_counts_extractions(rng):
+    labels, imgs, input_images, seg = _fov_arrays(rng)
+    mc_pos = marker_quantification.compute_marker_counts(
+        input_images, seg, extraction="positive_pixel")
+    cid = int(list(mc_pos.coords["cell_id"])[0])
+    mask = labels == cid
+    np.testing.assert_allclose(
+        float(mc_pos.sel(compartments="whole_cell", cell_id=cid,
+                         features="chan0").values),
+        (imgs[..., 0][mask] > 0).sum(), rtol=1e-5)
+    mc_cw = marker_quantification.compute_marker_counts(
+        input_images, seg, extraction="center_weighting")
+    v = float(mc_cw.sel(compartments="whole_cell", cell_id=cid,
+                        features="chan0").values)
+    total = imgs[..., 0][mask].sum()
+    assert 0 < v < total  # weighted sum strictly below plain sum
+
+
+def test_fast_extraction(rng):
+    labels, imgs, input_images, seg = _fov_arrays(rng)
+    mc = marker_quantification.compute_marker_counts(input_images, seg,
+                                                     fast_extraction=True)
+    feats = list(mc.coords["features"])
+    assert "convex_area" not in feats
+    assert "num_concavities" not in feats
+    assert "centroid-0" in feats
+
+
+def test_nuclear_counts(rng):
+    labels, imgs, input_images, _ = _fov_arrays(rng)
+    # nuclear mask: erode cells -> same ids serve as nuclei
+    from ark_tpu.ops import morphology
+    nuc = np.asarray(morphology.erode_mask(labels))
+    seg = DataArray(np.stack([labels, nuc], axis=-1),
+                    coords={"rows": np.arange(64), "cols": np.arange(64),
+                            "compartments": ["whole_cell", "nuclear"]})
+    mc = marker_quantification.compute_marker_counts(input_images, seg,
+                                                     nuclear_counts=True)
+    assert "nc_ratio" in list(mc.coords["features"])
+    ratios = mc.sel(compartments="nuclear", features="nc_ratio").values
+    valid = ratios[ratios > 0]
+    assert len(valid) > 0
+    assert (valid <= 1.0 + 1e-6).all()
+
+
+def test_create_marker_count_matrices(rng):
+    labels, imgs, input_images, seg = _fov_arrays(rng)
+    seg_fov = DataArray(seg.values[None],
+                        coords={"fovs": ["fov0"], "rows": np.arange(64),
+                                "cols": np.arange(64),
+                                "compartments": ["whole_cell"]})
+    img_fov = DataArray(imgs[None],
+                        coords={"fovs": ["fov0"], "rows": np.arange(64),
+                                "cols": np.arange(64), "channels": CHANNELS})
+    norm, arcsinh = marker_quantification.create_marker_count_matrices(
+        seg_fov, img_fov)
+    assert (norm["fov"] == "fov0").all()
+    # size-norm: channel / cell_size
+    cid = norm[settings.CELL_LABEL].iloc[0]
+    mask = labels == cid
+    expected = imgs[..., 0][mask].sum() / mask.sum()
+    np.testing.assert_allclose(norm["chan0"].iloc[0], expected, rtol=1e-3)
+    np.testing.assert_allclose(arcsinh["chan0"].iloc[0],
+                               np.arcsinh(expected * 100), rtol=1e-3)
+
+
+def test_generate_cell_table(rng, tmp_path):
+    fovs = ["fov0", "fov1"]
+    tiff_dir = str(tmp_path / "imgs")
+    seg_dir = str(tmp_path / "segs")
+    data = test_utils.create_image_cohort(tiff_dir, fovs, CHANNELS,
+                                          shape=(48, 48), n_cells=10)
+    test_utils.save_label_dir(seg_dir, data)
+    norm, arcsinh = marker_quantification.generate_cell_table(
+        segmentation_dir=seg_dir, tiff_dir=tiff_dir, img_sub_folder=None,
+        fovs=fovs)
+    assert set(norm["fov"].unique()) == set(fovs)
+    assert (norm["mask_type"] == "whole_cell").all()
+    assert settings.CELL_SIZE in norm.columns
+    assert len(norm) == len(arcsinh) > 0
+
+
+def test_transform_expression_matrix_noop_columns(rng):
+    # non-channel columns (cell_size, label, regionprops) must be unchanged
+    labels, imgs, input_images, seg = _fov_arrays(rng)
+    mc = marker_quantification.compute_marker_counts(input_images, seg)
+    norm = segmentation_utils.transform_expression_matrix(mc, "size_norm")
+    np.testing.assert_array_equal(
+        norm.sel(features=settings.CELL_SIZE).values,
+        mc.sel(features=settings.CELL_SIZE).values)
+    np.testing.assert_array_equal(
+        norm.sel(features="area").values, mc.sel(features="area").values)
+
+
+def test_split_large_nuclei(rng):
+    cells = np.zeros((40, 40), np.int32)
+    cells[5:20, 5:20] = 1
+    nucs = np.zeros((40, 40), np.int32)
+    nucs[10:30, 10:15] = 1  # nucleus extends well below cell 1
+    out = segmentation_utils.split_large_nuclei(cells, nucs, np.array([1]))
+    in_cell_ids = np.unique(out[(cells == 1) & (out > 0)])
+    out_cell_ids = np.unique(out[(cells == 0) & (out > 0)])
+    assert len(in_cell_ids) == 1 and len(out_cell_ids) == 1
+    assert in_cell_ids[0] != out_cell_ids[0]
