@@ -1,0 +1,229 @@
+"""Spatial-analysis primitives: distance matrices, positive-label selection,
+close-cell counting, neighbor counts, k-means sweeps.
+
+Capability parity with reference `src/ark/analysis/spatial_analysis_utils.py`
+(calc_dist_matrix :17-64, append_distance_features :67-116, positive-label
+selection :119-171, compute_close_cell_num :174-274, compute_neighbor_counts
+:277-338, k-means sweeps :341-454). Distance matrices, the marker×marker
+close-interaction counts, and neighbor-count matmuls run on device.
+
+Distance matrices persist as `<fov>_dist_mat.xr` (name contract preserved);
+the container is this framework's HDF5 DataArray format."""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from tqdm import tqdm
+
+from ark_tpu import settings
+from ark_tpu.io import io_utils
+from ark_tpu.io.misc_utils import verify_in_list
+from ark_tpu.ops import distances as dist_ops
+from ark_tpu.ops import kmeans as kmeans_ops
+from ark_tpu.utils.labeled_array import DataArray
+
+
+def calc_dist_matrix(cell_table, save_path, fov_id=settings.FOV_ID,
+                     label_id=settings.CELL_LABEL,
+                     centroid_ids=(settings.CENTROID_0, settings.CENTROID_1)):
+    """Per-FOV cell-centroid distance matrices, saved as
+    `<fov>_dist_mat.xr` (device cdist; reference :17-64)."""
+    io_utils.validate_paths([save_path])
+    fovs = cell_table[fov_id].unique()
+    for fov in tqdm(fovs, desc="Distance Matrix Generation", unit="FOVs"):
+        fov_table = cell_table[cell_table[fov_id] == fov]
+        centroids = fov_table[list(centroid_ids)].values.astype(np.float32)
+        labels = list(fov_table[label_id])
+        dist_matrix = dist_ops.cdist(centroids).astype(np.float32)
+        da = DataArray(dist_matrix, coords={"dim_0": labels, "dim_1": labels})
+        da.to_h5(os.path.join(save_path, str(fov) + "_dist_mat.xr"))
+
+
+def load_dist_matrix(dist_mat_dir, fov) -> DataArray:
+    """Load one FOV's distance matrix saved by calc_dist_matrix."""
+    return DataArray.from_h5(os.path.join(dist_mat_dir,
+                                          str(fov) + "_dist_mat.xr"))
+
+
+def append_distance_features_to_dataset(fov, dist_matrix, cell_table,
+                                        distance_columns):
+    """Append per-cell distance features as pseudo-cells in both the cell
+    table and the distance matrix (reference :67-116)."""
+    verify_in_list(distance_columns=distance_columns,
+                   valid_columns=cell_table.columns)
+    num_cell_types = max(
+        cell_table[settings.CELL_TYPE].astype("category").cat.codes) + 1
+    fov_cells = cell_table.loc[cell_table[settings.FOV_ID] == fov]
+    num_labels = max(fov_cells[settings.CELL_LABEL])
+
+    dist_rows = []
+    vals = dist_matrix.values
+    row_coords = list(dist_matrix.coords["dim_0"])
+    col_coords = list(dist_matrix.coords["dim_1"])
+    for i, dist_col in enumerate(distance_columns):
+        dist_rows.append(pd.DataFrame([{
+            settings.FOV_ID: fov,
+            settings.CELL_LABEL: num_labels + i + 1,
+            settings.CELL_TYPE: dist_col,
+            settings.CELL_TYPE_NUM: num_cell_types + i + 1,
+        }]))
+        new_id = max(row_coords) + 1
+        feat = fov_cells[dist_col].values.astype(np.float32)
+        n = vals.shape[0]
+        new_vals = np.zeros((n + 1, n + 1), np.float32)
+        new_vals[:n, :n] = vals
+        new_vals[n, :n] = feat
+        new_vals[:n, n] = feat
+        vals = new_vals
+        row_coords = row_coords + [new_id]
+        col_coords = col_coords + [new_id]
+    dist_matrix = DataArray(vals, coords={"dim_0": row_coords,
+                                          "dim_1": col_coords})
+    cell_table = pd.concat([cell_table] + dist_rows)
+    return cell_table, dist_matrix
+
+
+def get_pos_cell_labels_channel(thresh, current_fov_channel_data, cell_labels,
+                                current_marker):
+    """Labels of cells whose `current_marker` expression exceeds thresh."""
+    pos = current_fov_channel_data[current_marker] > thresh
+    return cell_labels[pos]
+
+
+def get_pos_cell_labels_cluster(pheno, current_fov_neighborhood_data,
+                                cell_label_col, cell_type_col):
+    """Labels of cells whose phenotype equals pheno."""
+    pos = current_fov_neighborhood_data[cell_type_col] == pheno
+    return current_fov_neighborhood_data.loc[:, cell_label_col][pos]
+
+
+def compute_close_cell_num(dist_mat, dist_lim, analysis_type,
+                           current_fov_data=None,
+                           current_fov_channel_data=None, cluster_ids=None,
+                           cell_types_analyze=None, thresh_vec=None,
+                           cell_label_col=settings.CELL_LABEL,
+                           cell_type_col=settings.CELL_TYPE_NUM):
+    """marker×marker counts of close-cell interactions.
+
+    TPU redesign of reference :174-274: positive-label membership becomes a
+    (markers × cells) indicator matrix P; the full close_num matrix is the
+    single fused product P · D_bin · Pᵀ on the MXU instead of the symmetric
+    per-pair subset loop.
+    """
+    verify_in_list(analysis_type=analysis_type,
+                   good_analyses=["cluster", "channel"])
+    if analysis_type == "channel":
+        cell_labels = current_fov_data[cell_label_col]
+        num = len(thresh_vec)
+    else:
+        num = len(cluster_ids)
+
+    mark1poslabels = []
+    for j in range(num):
+        if analysis_type == "cluster":
+            mark1poslabels.append(get_pos_cell_labels_cluster(
+                pheno=cluster_ids[j],
+                current_fov_neighborhood_data=current_fov_data,
+                cell_label_col=cell_label_col, cell_type_col=cell_type_col))
+        else:
+            mark1poslabels.append(get_pos_cell_labels_channel(
+                thresh=thresh_vec[j],
+                current_fov_channel_data=current_fov_channel_data,
+                cell_labels=cell_labels,
+                current_marker=current_fov_channel_data.columns[j]))
+    mark1_num = [len(m) for m in mark1poslabels]
+
+    dist_vals = dist_mat.values
+    row_labels = np.asarray(dist_mat.coords["dim_0"])
+    label_to_idx = {lab: i for i, lab in enumerate(row_labels)}
+    n_cells = len(row_labels)
+    pos_matrix = np.zeros((num, n_cells), np.float32)
+    for j, labs in enumerate(mark1poslabels):
+        idx = [label_to_idx[v] for v in labs.values]
+        pos_matrix[j, idx] = 1.0
+
+    dist_bin = ((dist_vals < dist_lim) & (dist_vals > 0)).astype(np.float32)
+    close = np.asarray(jnp.asarray(pos_matrix)
+                       @ jnp.asarray(dist_bin)
+                       @ jnp.asarray(pos_matrix).T)
+    close_num = np.round(close).astype(np.uint16)
+    return close_num, mark1_num, mark1poslabels
+
+
+def compute_neighbor_counts(current_fov_neighborhood_data, dist_matrix,
+                            distlim, self_neighbor=False,
+                            cell_label_col=settings.CELL_LABEL,
+                            cluster_name_col=settings.CELL_TYPE):
+    """Per-cell neighbor-phenotype (counts, freqs) — the one-hot · binarized-
+    distance matmul of reference :277-338, on device."""
+    cell_labels = current_fov_neighborhood_data[cell_label_col].values
+    row_labels = list(dist_matrix.coords["dim_0"])
+    label_to_idx = {lab: i for i, lab in enumerate(row_labels)}
+    idx = np.array([label_to_idx[v] for v in cell_labels])
+    cell_dist_mat = dist_matrix.values[np.ix_(idx, idx)]
+
+    cell_dist_mat_bin = (cell_dist_mat < distlim).astype(np.float32)
+    if not self_neighbor:
+        cell_dist_mat_bin[cell_dist_mat == 0] = 0
+
+    num_neighbors = cell_dist_mat_bin.sum(axis=0)
+    pheno_dummies = pd.get_dummies(
+        current_fov_neighborhood_data.loc[:, cluster_name_col])
+    pheno_names = pheno_dummies.columns.values
+    pheno_has_cell = pheno_dummies.to_numpy().astype(np.float32).T
+
+    counts = np.asarray(jnp.asarray(pheno_has_cell)
+                        @ jnp.asarray(cell_dist_mat_bin)).T
+    counts_pd = pd.DataFrame(counts, columns=pheno_names,
+                             index=current_fov_neighborhood_data.index.copy())
+    with np.errstate(invalid="ignore"):
+        freqs = counts / num_neighbors[:, None]
+    freqs_pd = pd.DataFrame(freqs, columns=pheno_names,
+                            index=current_fov_neighborhood_data.index.copy())
+    return counts_pd, freqs_pd.fillna(0)
+
+
+def compute_kmeans_inertia(neighbor_mat_data, min_k=2, max_k=10, seed=42):
+    """Jitted-Lloyd inertia sweep k=min_k..max_k (reference :341-373)."""
+    ks = np.arange(min_k, max_k + 1)
+    data = np.asarray(neighbor_mat_data, np.float32)
+    stats = np.zeros(len(ks))
+    for i, k in enumerate(ks):
+        _, inertia = kmeans_ops.kmeans(data, int(k), seed=seed)
+        stats[i] = inertia
+    return DataArray(stats, coords={"cluster_num": ks})
+
+
+def compute_kmeans_silhouette(neighbor_mat_data, min_k=2, max_k=10, seed=42,
+                              subsample=None):
+    """Silhouette-score sweep over k (labels from the TPU k-means; score via
+    sklearn on host; reference :376-427)."""
+    import sklearn.metrics
+    ks = np.arange(min_k, max_k + 1)
+    data = np.asarray(neighbor_mat_data, np.float32)
+    stats = np.zeros(len(ks))
+    rng = np.random.default_rng(seed)
+    for i, k in enumerate(ks):
+        labels, _ = kmeans_ops.kmeans(data, int(k), seed=seed)
+        sub_dat = pd.DataFrame(data)
+        sub_dat["cluster"] = labels
+        if subsample is not None:
+            sub_dat = sub_dat.groupby("cluster").apply(
+                lambda x: x.sample(subsample, replace=len(x) < subsample,
+                                   random_state=seed)).reset_index(drop=True)
+        stats[i] = sklearn.metrics.silhouette_score(
+            sub_dat.drop("cluster", axis=1), sub_dat["cluster"],
+            metric="euclidean")
+    return DataArray(stats, coords={"cluster_num": ks})
+
+
+def generate_cluster_labels(neighbor_mat_data, cluster_num, seed=42):
+    """Final k-means labels (1-indexed; reference :430-454)."""
+    labels, _ = kmeans_ops.kmeans(
+        np.asarray(neighbor_mat_data, np.float32), cluster_num, seed=seed)
+    return labels + 1

@@ -1,0 +1,161 @@
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ark_tpu import settings
+from ark_tpu.analysis import (cell_neighborhood_stats, neighborhood_analysis,
+                              spatial_analysis_utils, spatial_enrichment)
+from ark_tpu.ops import distances as dist_ops
+from ark_tpu.ops import kmeans as kmeans_ops
+
+from tests import test_utils
+
+
+def _planted_cell_table(rng, fovs=("fov0", "fov1")):
+    """Cell table with planted A<->B proximity per FOV."""
+    rows = []
+    for fov in fovs:
+        centroids, pops = test_utils.make_planted_proximity_centroids(
+            rng, n_a=25, n_b=25, n_bg=50, img_size=800, pair_dist=10)
+        for i, (c, p) in enumerate(zip(centroids, pops), start=1):
+            rows.append({settings.FOV_ID: fov, settings.CELL_LABEL: i,
+                         settings.CELL_TYPE: p,
+                         settings.CELL_TYPE_NUM: {"A": 1, "B": 2, "BG": 3}[p],
+                         settings.CENTROID_0: c[0], settings.CENTROID_1: c[1]})
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def spatial_setup(tmp_path_factory):
+    rng = np.random.default_rng(12345)
+    base = tmp_path_factory.mktemp("spatial")
+    cell_table = _planted_cell_table(rng)
+    dist_dir = base / "dists"
+    dist_dir.mkdir()
+    spatial_analysis_utils.calc_dist_matrix(cell_table, str(dist_dir))
+    return cell_table, str(dist_dir)
+
+
+def test_cdist_matches_scipy(rng):
+    from scipy.spatial.distance import cdist as sp_cdist
+    a = rng.random((100, 2)).astype(np.float32) * 100
+    ours = dist_ops.cdist(a)
+    ref = sp_cdist(a, a)
+    np.testing.assert_allclose(ours, ref, atol=1e-2, rtol=1e-4)
+
+
+def test_calc_dist_matrix_roundtrip(spatial_setup):
+    cell_table, dist_dir = spatial_setup
+    dm = spatial_analysis_utils.load_dist_matrix(dist_dir, "fov0")
+    fov_table = cell_table[cell_table[settings.FOV_ID] == "fov0"]
+    assert dm.shape == (len(fov_table), len(fov_table))
+    # diagonal zero
+    np.testing.assert_allclose(np.diag(dm.values), 0, atol=1e-3)
+
+
+def test_compute_close_cell_num_detects_planted_pairs(spatial_setup):
+    cell_table, dist_dir = spatial_setup
+    dm = spatial_analysis_utils.load_dist_matrix(dist_dir, "fov0")
+    fov_data = cell_table[cell_table[settings.FOV_ID] == "fov0"]
+    close_num, mark1_num, _ = spatial_analysis_utils.compute_close_cell_num(
+        dm, dist_lim=15, analysis_type="cluster", current_fov_data=fov_data,
+        cluster_ids=["A", "B", "BG"], cell_type_col=settings.CELL_TYPE)
+    assert close_num.shape == (3, 3)
+    # A-B interactions planted at distance 10 < 15: should dominate
+    assert close_num[0, 1] >= 20
+    assert close_num[0, 1] == close_num[1, 0]
+    assert close_num[0, 1] > close_num[0, 2]
+
+
+def test_neighborhood_matrix(spatial_setup):
+    cell_table, dist_dir = spatial_setup
+    with pytest.warns(UserWarning):
+        counts, freqs = neighborhood_analysis.create_neighborhood_matrix(
+            cell_table, dist_dir, distlim=15)
+    assert {"A", "B", "BG"}.issubset(counts.columns)
+    # every A cell's nearest neighbor is its paired B cell
+    a_rows = counts[counts[settings.CELL_TYPE] == "A"]
+    assert (a_rows["B"] >= 1).mean() > 0.9
+    # freqs rows sum to 1
+    fsub = freqs[["A", "B", "BG"]].values
+    np.testing.assert_allclose(fsub.sum(1), 1.0, rtol=1e-5)
+
+
+def test_kmeans_and_cluster_results(spatial_setup, rng):
+    # well separated blobs -> kmeans recovers them
+    data = np.concatenate([rng.normal(0, .1, (50, 3)),
+                           rng.normal(5, .1, (50, 3))])
+    labels, inertia = kmeans_ops.kmeans(data, 2, seed=42)
+    assert len(np.unique(labels[:50])) == 1
+    assert len(np.unique(labels[50:])) == 1
+    assert labels[0] != labels[-1]
+    # inertia decreases with k
+    stats = spatial_analysis_utils.compute_kmeans_inertia(data, 2, 5)
+    vals = stats.values
+    assert vals[0] >= vals[-1]
+
+
+def test_spatial_enrichment_detects_planted_signal(spatial_setup):
+    cell_table, dist_dir = spatial_setup
+    dm = spatial_analysis_utils.load_dist_matrix(dist_dir, "fov0")
+    names, res = spatial_enrichment.calculate_cluster_spatial_enrichment(
+        "fov0", cell_table, dm, dist_lim=15, bootstrap_num=100, seed=42)
+    i, j = names.index("A"), names.index("B")
+    assert res["z"][i, j] > 3         # strong planted enrichment
+    assert res["p_pos"][i, j] < 0.05
+    # background pairs not enriched
+    k = names.index("BG")
+    assert res["z"][i, k] < 3
+    table = spatial_enrichment.generate_enrichment_stats_table(names, res)
+    assert len(table) == 9
+
+
+def test_benjamini_hochberg():
+    p = np.array([0.01, 0.02, 0.03, 0.5])
+    adj = spatial_enrichment.benjamini_hochberg(p)
+    assert (adj >= p - 1e-12).all()
+    assert adj[3] == 0.5
+    np.testing.assert_allclose(adj[0], 0.04)
+
+
+def test_neighborhood_diversity(spatial_setup):
+    cell_table, dist_dir = spatial_setup
+    counts, freqs = neighborhood_analysis.create_neighborhood_matrix(
+        cell_table, dist_dir, distlim=100)
+    div = cell_neighborhood_stats.compute_neighborhood_diversity(
+        freqs, settings.CELL_TYPE)
+    col = f"diversity_{settings.CELL_TYPE}"
+    assert col in div.columns
+    assert (div[col] >= 0).all()
+    # manual check of one row
+    row = freqs.iloc[0][["A", "B", "BG"]].values.astype(float)
+    expected = cell_neighborhood_stats.shannon_diversity(row)
+    np.testing.assert_allclose(div[col].iloc[0], expected, rtol=1e-6)
+
+
+def test_mean_distance_to_cell_type(spatial_setup):
+    cell_table, dist_dir = spatial_setup
+    dm = spatial_analysis_utils.load_dist_matrix(dist_dir, "fov0")
+    fov_table = cell_table[cell_table[settings.FOV_ID] == "fov0"]
+    dists = cell_neighborhood_stats.calculate_mean_distance_to_all_cell_types(
+        fov_table, dm, k=3)
+    assert set(dists.columns) == {"A", "B", "BG"}
+    # A cells are closer to B (planted pairs) than to BG on average
+    a_idx = fov_table[settings.CELL_TYPE].values == "A"
+    assert dists.loc[a_idx, "B"].mean() < dists.loc[a_idx, "BG"].mean()
+
+
+def test_mixing_score(spatial_setup):
+    cell_table, dist_dir = spatial_setup
+    counts, _ = neighborhood_analysis.create_neighborhood_matrix(
+        cell_table, dist_dir, distlim=100)
+    fov_counts = counts[counts[settings.FOV_ID] == "fov0"]
+    score, total = neighborhood_analysis.compute_mixing_score(
+        fov_counts.copy(), ["A"], ["B"], "percent", cell_count_thresh=10)
+    assert 0 <= score <= 1
+    # overlapping populations rejected
+    with pytest.raises(ValueError):
+        neighborhood_analysis.compute_mixing_score(
+            fov_counts.copy(), ["A"], ["A", "B"], "percent")
