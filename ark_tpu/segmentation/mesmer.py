@@ -1,0 +1,106 @@
+"""In-process Mesmer segmentation application.
+
+Replaces the reference's DeepCell REST workflow (zip → upload → poll →
+download; `deepcell_service_utils.py:95-343`) with local TPU inference: the
+PanopticNet forward pass (ark_tpu.models.unet) runs on channel-stacked FOV
+batches; the deep-watershed instance postprocess runs per FOV — local maxima
+of the predicted inner-distance become markers (a device 3×3 maxpool), then
+the native C++ watershed floods the interior mask.
+
+Weights: random-initialized unless loaded from an `.npz` checkpoint via
+`Mesmer(weights_path=...)` (this build has no network egress to fetch the
+published Mesmer weights; the full pipeline is architecture/throughput-exact
+and numerically well-formed either way).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ark_tpu.models import unet
+from ark_tpu.ops import image_filters, morphology
+from ark_tpu.ops import watershed as watershed_ops
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _percentile_normalize(batch: jax.Array) -> jax.Array:
+    """Per-image, per-channel robust normalization to [0, 1] using the
+    0.1/99.9 percentiles (Mesmer-style preprocessing)."""
+    lo = jnp.percentile(batch, 0.1, axis=(1, 2), keepdims=True)
+    hi = jnp.percentile(batch, 99.9, axis=(1, 2), keepdims=True)
+    return jnp.clip((batch - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+
+
+@jax.jit
+def _find_maxima(inner_distance: jax.Array, threshold: float = 0.1) -> jax.Array:
+    """Local-maxima mask: pixels equal to their 3×3 max-pool and above
+    threshold. (B, H, W) -> bool (B, H, W); runs on device."""
+    x = inner_distance[..., None]
+    pooled = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1), "SAME")
+    return ((x >= pooled) & (x > threshold))[..., 0]
+
+
+class Mesmer:
+    """Whole-cell + nuclear segmentation from (nuclear, membrane) images."""
+
+    def __init__(self, weights_path: Optional[str] = None, seed: int = 0,
+                 dtype=jnp.bfloat16):
+        self.model, self.variables = unet.init_mesmer(seed=seed, dtype=dtype)
+        if weights_path is not None:
+            self.variables = unet.load_params_npz(weights_path)
+        self._forward = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False))
+
+    def predict_raw(self, batch: np.ndarray) -> Dict[str, np.ndarray]:
+        """Run the network on a (B, H, W, 2) batch; returns semantic heads."""
+        x = _percentile_normalize(jnp.asarray(batch, jnp.float32))
+        out = self._forward(self.variables, x)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def predict(self, batch: np.ndarray, maxima_threshold: float = 0.1,
+                interior_threshold: float = 0.3,
+                min_cell_size: int = 15) -> Dict[str, np.ndarray]:
+        """Segment a (B, H, W, 2) batch.
+
+        Returns {'whole_cell': (B, H, W) int32 labels,
+                 'nuclear': (B, H, W) int32 labels}.
+        """
+        import scipy.ndimage as ndi
+
+        x = _percentile_normalize(jnp.asarray(batch, jnp.float32))
+        out = self._forward(self.variables, x)
+        labels = {}
+        for comp in ("whole_cell", "nuclear"):
+            inner = jnp.asarray(out[f"{comp}_inner_distance"][..., 0])
+            interior = np.asarray(out[f"{comp}_pixelwise"][..., 0])
+            maxima = np.asarray(_find_maxima(inner, maxima_threshold))
+            inner_np = np.asarray(inner)
+            batch_labels = []
+            for b in range(inner_np.shape[0]):
+                markers, _ = ndi.label(maxima[b])
+                mask = interior[b] > interior_threshold
+                lab = watershed_ops.watershed(-inner_np[b], markers, mask)
+                lab = morphology.remove_small_objects(lab,
+                                                      min_size=min_cell_size)
+                batch_labels.append(lab)
+            labels[comp] = np.stack(batch_labels).astype(np.int32)
+        return labels
+
+
+def segment_fovs(fov_images: np.ndarray, weights_path: Optional[str] = None,
+                 batch_size: int = 4, **predict_kwargs) -> Dict[str, np.ndarray]:
+    """Segment a stack of (N, H, W, 2) FOV images in device batches."""
+    app = Mesmer(weights_path=weights_path)
+    whole, nuc = [], []
+    for i in range(0, fov_images.shape[0], batch_size):
+        out = app.predict(fov_images[i:i + batch_size], **predict_kwargs)
+        whole.append(out["whole_cell"])
+        nuc.append(out["nuclear"])
+    return {"whole_cell": np.concatenate(whole),
+            "nuclear": np.concatenate(nuc)}
