@@ -1,0 +1,234 @@
+"""Classical image filters for the fiber / ez_seg pipelines.
+
+Fresh implementations of the skimage ops the reference leans on
+(`fiber_segmentation.py:324-356`: CLAHE equalize_adapthist, Frangi
+vesselness, Sobel elevation, multi-Otsu thresholds; `ez_object_segmentation`:
+local-adaptive thresholds, Meijering-style ridge filter). Hessians/gradients
+run as separable Gaussian-derivative convolutions on device (XLA); the
+histogram-equalization table math is vectorized numpy on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ark_tpu.ops.image_filters import gaussian_kernel1d, _conv1d_axis
+
+
+def _gaussian_derivative_kernel1d(sigma: float, order: int,
+                                  truncate: float = 4.0) -> np.ndarray:
+    """1-D Gaussian derivative taps (order 0, 1 or 2), scipy-compatible."""
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    g = np.exp(-0.5 * (x / sigma) ** 2)
+    g /= g.sum()
+    if order == 0:
+        return g.astype(np.float32)
+    if order == 1:
+        return (-x / sigma ** 2 * g).astype(np.float32)
+    return (((x ** 2 - sigma ** 2) / sigma ** 4) * g).astype(np.float32)
+
+
+def _sep_conv(img: jax.Array, krow: np.ndarray, kcol: np.ndarray) -> jax.Array:
+    """Separable 2-D convolution with symmetric boundary."""
+    x = img[..., None].astype(jnp.float32)
+    r = (len(krow) - 1) // 2
+    x = jnp.pad(x, ((r, r), (0, 0), (0, 0)), mode="symmetric")
+    x = _conv1d_axis(x, jnp.asarray(krow[::-1].copy()), axis=0)
+    r = (len(kcol) - 1) // 2
+    x = jnp.pad(x, ((0, 0), (r, r), (0, 0)), mode="symmetric")
+    x = _conv1d_axis(x, jnp.asarray(kcol[::-1].copy()), axis=1)
+    return x[..., 0]
+
+
+@jax.jit
+def sobel(img: jax.Array) -> jax.Array:
+    """Sobel gradient-magnitude elevation map (skimage normalization: kernels
+    scaled by 1/4, magnitude divided by sqrt(2))."""
+    img = img.astype(jnp.float32)
+    smooth = np.array([1.0, 2.0, 1.0], np.float32) / 4.0
+    diff = np.array([1.0, 0.0, -1.0], np.float32) / 2.0
+    gy = _sep_conv(img, diff, smooth)
+    gx = _sep_conv(img, smooth, diff)
+    return jnp.sqrt(gx * gx + gy * gy) / jnp.sqrt(2.0)
+
+
+def multi_otsu(img: np.ndarray, classes: int = 3,
+               nbins: int = 256) -> np.ndarray:
+    """Multi-Otsu thresholds (classes=3 → 2 thresholds) maximizing
+    between-class variance; vectorized over all threshold pairs."""
+    img = np.asarray(img, np.float64).ravel()
+    lo, hi = img.min(), img.max()
+    if hi <= lo:
+        return np.array([lo] * (classes - 1))
+    hist, bin_edges = np.histogram(img, bins=nbins, range=(lo, hi))
+    centers = (bin_edges[:-1] + bin_edges[1:]) / 2
+    p = hist / hist.sum()
+    # cumulative zeroth/first moments
+    w = np.cumsum(p)
+    mu = np.cumsum(p * centers)
+    if classes == 2:
+        w0 = w
+        mu0 = mu
+        w1 = 1 - w0
+        mu_t = mu[-1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = (mu_t * w0 - mu0) ** 2 / np.maximum(w0 * w1, 1e-12)
+        t = int(np.nanargmax(var[:-1]))
+        return np.array([centers[t]])
+    if classes != 3:
+        raise NotImplementedError("multi_otsu supports classes in {2, 3}")
+    # class stats for all (t1 < t2) pairs via prefix sums
+    W = np.concatenate([[0.0], w])
+    M = np.concatenate([[0.0], mu])
+
+    def seg(a, b):  # mass & mean of bins (a, b]
+        wseg = W[b] - W[a]
+        mseg = M[b] - M[a]
+        return wseg, mseg
+
+    t1 = np.arange(1, nbins - 1)[:, None]
+    t2 = np.arange(2, nbins)[None, :]
+    valid = t1 < t2
+    w0, m0 = seg(0, t1)
+    w1, m1 = seg(t1, t2)
+    w2, m2 = seg(t2, nbins)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        var = (np.where(w0 > 0, m0 ** 2 / w0, 0)
+               + np.where(w1 > 0, m1 ** 2 / w1, 0)
+               + np.where(w2 > 0, m2 ** 2 / w2, 0))
+    var = np.where(valid, var, -np.inf)
+    i, j = np.unravel_index(np.argmax(var), var.shape)
+    return np.array([centers[t1[i, 0]], centers[t2[0, j]]])
+
+
+def equalize_adapthist(img: np.ndarray, kernel_size=None,
+                       clip_limit: float = 0.01,
+                       nbins: int = 256) -> np.ndarray:
+    """CLAHE: tile-wise clipped histogram equalization with bilinear blending
+    of neighboring tile transfer functions. Input in [0, 1]; output in [0, 1].
+    """
+    img = np.asarray(img, np.float64)
+    h, w = img.shape
+    if kernel_size is None:
+        kernel_size = (h // 8, w // 8)
+    if np.isscalar(kernel_size):
+        kernel_size = (int(kernel_size), int(kernel_size))
+    th = max(int(round(kernel_size[0])), 2)
+    tw = max(int(round(kernel_size[1])), 2)
+    n_tr = max(int(np.ceil(h / th)), 1)
+    n_tc = max(int(np.ceil(w / tw)), 1)
+    ph, pw = n_tr * th, n_tc * tw
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="symmetric")
+
+    bins = np.clip((padded * (nbins - 1)).astype(np.int64), 0, nbins - 1)
+    # per-tile histograms via one flat bincount
+    tr = np.arange(ph) // th
+    tc = np.arange(pw) // tw
+    tile_idx = tr[:, None] * n_tc + tc[None, :]
+    flat = tile_idx * nbins + bins
+    hists = np.bincount(flat.ravel(), minlength=n_tr * n_tc * nbins)
+    hists = hists.reshape(n_tr, n_tc, nbins).astype(np.float64)
+
+    # clip + redistribute
+    clip = max(clip_limit * th * tw, 1.0)
+    excess = np.maximum(hists - clip, 0).sum(axis=2, keepdims=True)
+    hists = np.minimum(hists, clip) + excess / nbins
+    cdf = np.cumsum(hists, axis=2)
+    cdf = cdf / cdf[:, :, -1:]                                   # (tr, tc, B)
+
+    # bilinear blend of the 4 surrounding tile mappings at each pixel
+    yy = (np.arange(ph) + 0.5) / th - 0.5
+    xx = (np.arange(pw) + 0.5) / tw - 0.5
+    y0 = np.clip(np.floor(yy).astype(int), 0, n_tr - 1)
+    x0 = np.clip(np.floor(xx).astype(int), 0, n_tc - 1)
+    y1 = np.clip(y0 + 1, 0, n_tr - 1)
+    x1 = np.clip(x0 + 1, 0, n_tc - 1)
+    fy = np.clip(yy - y0, 0, 1)[:, None]
+    fx = np.clip(xx - x0, 0, 1)[None, :]
+
+    b = bins
+    c00 = cdf[y0[:, None], x0[None, :], b]
+    c01 = cdf[y0[:, None], x1[None, :], b]
+    c10 = cdf[y1[:, None], x0[None, :], b]
+    c11 = cdf[y1[:, None], x1[None, :], b]
+    out = ((1 - fy) * ((1 - fx) * c00 + fx * c01)
+           + fy * ((1 - fx) * c10 + fx * c11))
+    return out[:h, :w]
+
+
+@functools.partial(jax.jit, static_argnames=("sigma",))
+def _hessian_eigvals(img: jax.Array, sigma: float):
+    """Scale-normalized Hessian eigenvalues (λ1, λ2 with |λ1| ≤ |λ2|)."""
+    g0 = _gaussian_derivative_kernel1d(sigma, 0)
+    g1 = _gaussian_derivative_kernel1d(sigma, 1)
+    g2 = _gaussian_derivative_kernel1d(sigma, 2)
+    s2 = sigma ** 2
+    hrr = _sep_conv(img, g2, g0) * s2
+    hcc = _sep_conv(img, g0, g2) * s2
+    hrc = _sep_conv(img, g1, g1) * s2
+    tmp = jnp.sqrt((hrr - hcc) ** 2 + 4 * hrc ** 2)
+    mu1 = (hrr + hcc + tmp) / 2
+    mu2 = (hrr + hcc - tmp) / 2
+    # order by absolute value
+    swap = jnp.abs(mu1) > jnp.abs(mu2)
+    l1 = jnp.where(swap, mu2, mu1)
+    l2 = jnp.where(swap, mu1, mu2)
+    return l1, l2
+
+
+def frangi(img, sigmas: Iterable[float] = (1, 3, 5, 7, 9),
+           black_ridges: bool = False, beta: float = 0.5,
+           gamma: float = 15.0) -> np.ndarray:
+    """Frangi vesselness: max over scales of
+    exp(−R_b²/2β²)·(1−exp(−S²/2γ²)) on ridge-signed Hessian eigenvalues."""
+    x = jnp.asarray(np.asarray(img), jnp.float32)
+    if black_ridges:
+        x = -x
+    out = None
+    for sigma in sigmas:
+        l1, l2 = _hessian_eigvals(x, float(sigma))
+        rb2 = (l1 / jnp.where(l2 == 0, 1e-10, l2)) ** 2
+        s2 = l1 ** 2 + l2 ** 2
+        v = jnp.exp(-rb2 / (2 * beta ** 2)) * \
+            (1 - jnp.exp(-s2 / (2 * gamma ** 2)))
+        v = jnp.where(l2 < 0, v, 0.0)   # bright ridges: λ2 negative
+        out = v if out is None else jnp.maximum(out, v)
+    return np.asarray(out)
+
+
+def meijering(img, sigmas: Iterable[float] = (1, 3, 5, 7, 9),
+              black_ridges: bool = False) -> np.ndarray:
+    """Meijering neuriteness ridge filter: max over scales of the normalized
+    modified-Hessian minimum eigenvalue."""
+    x = jnp.asarray(np.asarray(img), jnp.float32)
+    if black_ridges:
+        x = -x
+    out = None
+    for sigma in sigmas:
+        l1, l2 = _hessian_eigvals(x, float(sigma))
+        # modified eigenvalues: m = λ + λ_other / 3
+        m1 = l1 + l2 / 3.0
+        m2 = l2 + l1 / 3.0
+        mmin = jnp.minimum(m1, m2)
+        v = jnp.where(mmin < 0, -mmin, 0.0)
+        out = v if out is None else jnp.maximum(out, v)
+    mx = jnp.max(out)
+    out = jnp.where(mx > 0, out / mx, out)
+    return np.asarray(out)
+
+
+def local_adaptive_threshold(img: np.ndarray, block_size: int,
+                             offset: float = 0.0) -> np.ndarray:
+    """Gaussian-weighted local threshold (skimage threshold_local
+    'gaussian'): pixel > local_mean − offset."""
+    from ark_tpu.ops.image_filters import gaussian_blur
+    sigma = (block_size - 1) / 6.0
+    local_mean = np.asarray(gaussian_blur(jnp.asarray(img, jnp.float32),
+                                          sigma=sigma))
+    return np.asarray(img) > (local_mean - offset)
