@@ -63,6 +63,23 @@ def remove_small_objects(labels: np.ndarray, min_size: int = 5) -> np.ndarray:
     return out
 
 
+def remove_small_holes(mask: np.ndarray, area_threshold: int = 64) -> np.ndarray:
+    """Fill background components smaller than area_threshold that do not
+    touch the image border (host, scipy labeling)."""
+    import scipy.ndimage as ndi
+    mask = np.asarray(mask).astype(bool)
+    bg_labels, n = ndi.label(~mask)
+    if n == 0:
+        return mask
+    counts = np.bincount(bg_labels.reshape(-1))
+    border = np.unique(np.concatenate([
+        bg_labels[0, :], bg_labels[-1, :], bg_labels[:, 0], bg_labels[:, -1]]))
+    fill = np.zeros(n + 1, bool)
+    fill[1:] = counts[1:] < area_threshold
+    fill[border] = False
+    return mask | fill[bg_labels]
+
+
 def erode_mask(mask: np.ndarray, connectivity: int = 2) -> np.ndarray:
     """Erode each labeled object by its boundary (reference
     `data_utils.py:70-84`: label image minus its inner boundaries)."""
