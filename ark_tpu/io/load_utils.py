@@ -112,6 +112,11 @@ def load_imgs_from_dir(data_dir: str, files: Optional[List[str]] = None,
         img = read_image(os.path.join(data_dir, f))
         if img.ndim == 2:
             img = img[..., None]
+        elif (img.ndim == 3 and xr_channel_names
+              and img.shape[0] == len(xr_channel_names)
+              and img.shape[-1] != len(xr_channel_names)):
+            # channels-first multi-page TIFF (e.g. deepcell 2-channel inputs)
+            img = np.moveaxis(img, 0, -1)
         blocks.append(img)
     shapes = {b.shape for b in blocks}
     if len(shapes) > 1:
