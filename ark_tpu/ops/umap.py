@@ -1,0 +1,171 @@
+"""UMAP embedding in JAX (replaces the umap-learn/numba dependency,
+SURVEY.md §2.3 [NATIVE-adjacent]).
+
+Standard UMAP recipe, each stage a device computation:
+  1. exact kNN via the blocked distance kernel + top_k,
+  2. per-point bandwidth by binary search so Σ exp(−(d−ρ)/σ) = log2(k),
+  3. fuzzy simplicial set symmetrization  w ∪ wᵀ = w + wᵀ − w∘wᵀ,
+  4. PCA initialization,
+  5. jitted SGD epochs of the UMAP cross-entropy: attractive updates along
+     kNN edges, repulsive updates against per-edge random negatives —
+     vectorized over all edges per epoch (no per-sample Python loop).
+
+Distribution-level behavioral parity with umap-learn (same objective, same
+default a/b curve for min_dist=0.1); embeddings differ by run as they do
+between umap-learn versions/seeds.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ark_tpu.ops import distances as dist_ops
+
+# precomputed curve parameters for (spread=1.0, min_dist=0.1), the
+# umap-learn defaults
+_A, _B = 1.576943, 0.895061
+
+
+def _knn(data: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """(indices (N,k), dists (N,k)) of each point's k nearest neighbors
+    (self excluded)."""
+    d = dist_ops.pairwise_distances(data, data)
+    n = d.shape[0]
+    d = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d)  # exclude self
+    neg_top, idx = jax.lax.top_k(-d, k)
+    return idx, -neg_top
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def _smooth_knn(dists: jax.Array, n_iter: int = 64):
+    """Per-point (rho, sigma): rho = nearest distance; sigma solves
+    Σ_j exp(−max(d_ij − ρ, 0)/σ) = log2(k) by bisection."""
+    k = dists.shape[1]
+    target = jnp.log2(float(k))
+    rho = dists[:, 0]
+    shifted = jnp.maximum(dists - rho[:, None], 0.0)
+
+    def phi(sigma):
+        return jnp.sum(jnp.exp(-shifted / sigma[:, None]), axis=1)
+
+    lo = jnp.full(dists.shape[0], 1e-6)
+    hi = jnp.full(dists.shape[0], 1e3)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) / 2.0
+        val = phi(mid)
+        too_big = val > target
+        return jnp.where(too_big, lo, mid), jnp.where(too_big, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    return rho, (lo + hi) / 2.0
+
+
+@functools.partial(jax.jit, static_argnames=("n_epochs", "negative_sample_rate"))
+def _optimize(emb0: jax.Array, heads: jax.Array, tails: jax.Array,
+              weights: jax.Array, key, n_epochs: int = 200,
+              negative_sample_rate: int = 5,
+              initial_lr: float = 1.0) -> jax.Array:
+    """SGD over the UMAP cross-entropy, all edges per epoch."""
+    n = emb0.shape[0]
+    n_edges = heads.shape[0]
+
+    def epoch(carry, t):
+        emb, key = carry
+        lr = initial_lr * (1.0 - t / n_epochs)
+        he = jnp.take(emb, heads, axis=0)
+        ta = jnp.take(emb, tails, axis=0)
+        diff = he - ta
+        d2 = jnp.sum(diff * diff, axis=1)
+        # attractive gradient: dCE/dd2 for w_ij ~ 1/(1 + a d2^b);
+        # clamp d2 away from 0 (d2^(b-1) diverges there) and zero the grad
+        d2s = jnp.maximum(d2, 1e-8)
+        grad_coef = jnp.where(
+            d2 > 0.0,
+            -2.0 * _A * _B * d2s ** (_B - 1.0) / (1.0 + _A * d2s ** _B),
+            0.0)
+        attract = jnp.clip(grad_coef[:, None] * diff, -4.0, 4.0) \
+            * weights[:, None]
+        emb = emb.at[heads].add(lr * attract)
+        emb = emb.at[tails].add(-lr * attract)
+
+        # repulsion: negative samples per edge
+        def neg(carry, _):
+            emb, key = carry
+            key, sub = jax.random.split(key)
+            negs = jax.random.randint(sub, (n_edges,), 0, n)
+            he = jnp.take(emb, heads, axis=0)
+            ne = jnp.take(emb, negs, axis=0)
+            diff = he - ne
+            d2 = jnp.sum(diff * diff, axis=1)
+            coef = 2.0 * _B / ((0.001 + d2) * (1.0 + _A * d2 ** _B))
+            repel = jnp.clip(coef[:, None] * diff, -4.0, 4.0) \
+                * weights[:, None]
+            emb = emb.at[heads].add(lr * repel)
+            return (emb, key), None
+
+        (emb, key), _ = jax.lax.scan(neg, (emb, key), None,
+                                     length=negative_sample_rate)
+        return (emb, key), None
+
+    (emb, _), _ = jax.lax.scan(epoch, (emb0, key),
+                               jnp.arange(n_epochs, dtype=jnp.float32))
+    return emb
+
+
+def _pca(data: jax.Array, n_components: int = 2) -> jax.Array:
+    x = data - data.mean(0, keepdims=True)
+    cov = (x.T @ x) / x.shape[0]
+    vals, vecs = jnp.linalg.eigh(cov)
+    return x @ vecs[:, ::-1][:, :n_components]
+
+
+class UMAP:
+    """umap-learn-compatible front: UMAP().fit_transform(X) -> (N, 2)."""
+
+    def __init__(self, n_neighbors: int = 15, n_components: int = 2,
+                 min_dist: float = 0.1, n_epochs: int = 200,
+                 negative_sample_rate: int = 5, random_state: int = 42):
+        self.n_neighbors = n_neighbors
+        self.n_components = n_components
+        self.n_epochs = n_epochs
+        self.negative_sample_rate = negative_sample_rate
+        self.random_state = random_state
+
+    def fit_transform(self, data) -> np.ndarray:
+        data = jnp.asarray(np.asarray(data), jnp.float32)
+        n = data.shape[0]
+        k = min(self.n_neighbors, n - 1)
+        idx, dists = _knn(data, k)
+        rho, sigma = _smooth_knn(dists)
+        w = jnp.exp(-jnp.maximum(dists - rho[:, None], 0.0)
+                    / sigma[:, None])                               # (N, k)
+        heads = jnp.repeat(jnp.arange(n), k)
+        tails = idx.reshape(-1)
+        wflat = w.reshape(-1)
+        # symmetrize: union weight for (i, j) and (j, i)
+        dense_idx = heads * n + tails
+        wmat = jnp.zeros(n * n, jnp.float32).at[dense_idx].max(wflat)
+        wmat = wmat.reshape(n, n)
+        wsym = wmat + wmat.T - wmat * wmat.T
+        w_edges = wsym[heads, tails]
+
+        emb0 = _pca(data, self.n_components)
+        emb0 = emb0 / (jnp.abs(emb0).max() + 1e-12) * 10.0
+        emb = _optimize(emb0, heads, tails, w_edges,
+                        jax.random.PRNGKey(self.random_state),
+                        n_epochs=self.n_epochs,
+                        negative_sample_rate=self.negative_sample_rate)
+        return np.asarray(emb)
+
+
+def pca_transform(data, n_components: int = 2) -> np.ndarray:
+    """Device PCA projection (covariance eigendecomposition)."""
+    return np.asarray(_pca(jnp.asarray(np.asarray(data), jnp.float32),
+                           n_components))
