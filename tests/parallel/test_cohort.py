@@ -1,0 +1,90 @@
+import numpy as np
+import pytest
+
+import jax
+
+from ark_tpu.ops import som as som_ops
+from ark_tpu.parallel import cohort, mesh as mesh_utils
+from ark_tpu.parallel.prefetch import PrefetchLoader
+
+from tests import test_utils
+
+
+def test_get_mesh_and_sharding():
+    mesh = mesh_utils.get_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+    sharding = mesh_utils.fov_sharding(mesh)
+    assert sharding.spec == jax.sharding.PartitionSpec("fov")
+
+
+def test_map_over_fovs_pads_and_shards(rng):
+    mesh = mesh_utils.get_mesh()
+    batch = rng.random((5, 16, 16)).astype(np.float32)  # 5 not divisible by 8
+
+    def per_fov(img):
+        return img.sum()
+
+    out = cohort.map_over_fovs(per_fov, batch, mesh)
+    assert out.shape == (5,)
+    np.testing.assert_allclose(out, batch.sum(axis=(1, 2)), rtol=1e-4)
+
+
+def test_run_pixel_cohort_matches_serial(rng):
+    mesh = mesh_utils.get_mesh()
+    fovs = rng.random((3, 32, 32, 4)).astype(np.float32)
+    channel_norms = np.full(4, 0.9, np.float32)
+    post_norms = np.full(4, 0.8, np.float32)
+    weights = rng.random((100, 4)).astype(np.float32)
+    out = cohort.run_pixel_cohort(fovs, channel_norms, 0.05, post_norms,
+                                  weights, mesh=mesh)
+    assert out["pixel_mat"].shape == (3, 32 * 32, 4)
+    assert out["som_clusters"].shape == (3, 32 * 32)
+    # spot check one FOV against the serial pipeline
+    from ark_tpu.ops import image_filters
+    import jax.numpy as jnp
+    x = fovs[0] / channel_norms
+    x = np.asarray(image_filters.gaussian_blur(jnp.asarray(x), sigma=2))
+    mat = x.reshape(-1, 4)
+    rowsums = mat.sum(1)
+    valid = (rowsums > 0.05) & (mat != 0).any(1)
+    norm = mat / np.where(rowsums == 0, 1, rowsums)[:, None] / post_norms
+    clusters, _ = som_ops.som_map(weights, norm, impl="xla")
+    expected = np.where(valid, clusters, 0)
+    np.testing.assert_array_equal(out["som_clusters"][0], expected)
+    # valid rows rowsum to 1 before post-norm; after post-norm still positive
+    assert out["valid"][0].sum() > 0
+
+
+def test_cohort_channel_percentiles(rng):
+    mesh = mesh_utils.get_mesh()
+    fovs = rng.random((4, 16, 16, 3)).astype(np.float32)
+    fovs[fovs < 0.2] = 0
+    got = cohort.cohort_channel_percentiles(fovs, 0.99, mesh=mesh)
+    expected = np.mean([
+        [np.quantile(fovs[i, :, :, c][fovs[i, :, :, c] > 0], 0.99)
+         for c in range(3)] for i in range(4)], axis=0)
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_prefetch_loader(rng):
+    items = list(range(10))
+    loaded = []
+
+    def load(i):
+        return np.full((4,), i, np.float32)
+
+    out = list(PrefetchLoader(items, load, buffer_size=3))
+    assert [i for i, _ in out] == items
+    for i, arr in out:
+        assert (arr == i).all()
+
+
+def test_prefetch_loader_propagates_errors():
+    def load(i):
+        if i == 2:
+            raise RuntimeError("corrupt file")
+        return i
+
+    loader = PrefetchLoader([0, 1, 2, 3], load, buffer_size=2)
+    with pytest.raises(RuntimeError, match="corrupt file"):
+        list(loader)
