@@ -98,3 +98,19 @@ def test_dataarray_sel_and_h5(tmp_path):
     da.to_h5(p)
     back = DataArray.from_h5(p)
     assert back.equals(da)
+
+
+def test_ome_roundtrip(tmp_path):
+    from ark_tpu.io import ome_utils
+    fovs = test_utils.make_fov_names(1)
+    chans = ["CD3", "CD45"]
+    test_utils.create_image_cohort(str(tmp_path / "tree"), fovs, chans,
+                                   shape=(16, 16))
+    ome = ome_utils.fov_to_ome(str(tmp_path / "tree" / "fov0"),
+                               str(tmp_path / "ome"))
+    assert ome.endswith("fov0.ome.tiff")
+    out_dir = ome_utils.ome_to_fov(ome, str(tmp_path / "back"))
+    for chan in chans:
+        a = read_image(str(tmp_path / "tree" / "fov0" / f"{chan}.tiff"))
+        b = read_image(os.path.join(out_dir, f"{chan}.tiff"))
+        np.testing.assert_array_equal(a, b)
