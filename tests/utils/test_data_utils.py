@@ -155,3 +155,19 @@ def test_convert_to_anndata(tmp_path):
     assert "spatial" in a.obsm
     assert a.obsm["spatial"].shape[1] == 2
     assert "area" in a.obs.columns
+
+
+def test_stage_timer(tmp_path):
+    from ark_tpu.utils.profiling import StageTimer
+    timer = StageTimer(verbose=False, log_path=str(tmp_path / "log.jsonl"))
+    with timer.stage("blur", items=1000, unit="pixels"):
+        sum(range(1000))
+    with timer.stage("som"):
+        pass
+    report = timer.report()
+    assert report[0]["stage"] == "blur"
+    assert report[0]["per_second"] > 0
+    assert timer.total_seconds > 0
+    import json
+    lines = open(tmp_path / "log.jsonl").read().splitlines()
+    assert len(lines) == 2 and json.loads(lines[0])["unit"] == "pixels"
