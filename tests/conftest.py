@@ -22,9 +22,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
-    """Session-seeded RNG (mirrors the reference conftest's default_rng(12345))."""
+    """Per-test seeded RNG so each test draws a deterministic stream
+    regardless of execution order (the reference seeds default_rng(12345)
+    once per session; a shared stream makes tests order-dependent)."""
     return np.random.default_rng(12345)
 
 
