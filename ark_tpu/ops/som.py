@@ -222,17 +222,19 @@ def som_map(weights, data, impl: str = "auto",
 # Training
 # ---------------------------------------------------------------------------
 
-def _train_scan(data: jax.Array, w0: jax.Array, order: jax.Array,
-                gdist: jax.Array, n_steps: int, batch_size: int,
+def _train_loop(data: jax.Array, w0: jax.Array, order: jax.Array,
+                gdist: jax.Array, n_steps: jax.Array, batch_size: int,
                 lr_start: float, lr_end: float, r_start: float,
                 axis_name: Optional[str] = None) -> jax.Array:
-    """Batch-Kohonen scan. `order` is the pre-shuffled row index sequence of
-    length n_steps*batch_size (with replacement wrap-around)."""
+    """Batch-Kohonen training loop. `order` is the pre-shuffled row index
+    sequence (padded; only the first n_steps*batch_size entries are visited —
+    n_steps is a traced scalar so data-size changes don't force recompiles)."""
     n, c = data.shape
     k = w0.shape[0]
+    denom = jnp.maximum(n_steps - 1, 1).astype(jnp.float32)
 
-    def step(w, t):
-        frac = t.astype(jnp.float32) / jnp.maximum(n_steps - 1, 1)
+    def step(t, w):
+        frac = t.astype(jnp.float32) / denom
         alpha = lr_start + (lr_end - lr_start) * frac
         radius = r_start * (1.0 - frac)
         rows = jax.lax.dynamic_slice_in_dim(order, t * batch_size, batch_size)
@@ -249,19 +251,21 @@ def _train_scan(data: jax.Array, w0: jax.Array, order: jax.Array,
             den = jax.lax.psum(den, axis_name)
         target = num / jnp.maximum(den, 1.0)[:, None]
         upd = (den > 0)[:, None]
-        w = jnp.where(upd, w + alpha * (target - w), w)
-        return w, None
+        return jnp.where(upd, w + alpha * (target - w), w)
 
-    w, _ = jax.lax.scan(step, w0, jnp.arange(n_steps))
-    return w
+    return jax.lax.fori_loop(0, n_steps, step, w0)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_steps", "batch_size", "lr_start", "lr_end", "r_start"))
+    "batch_size", "lr_start", "lr_end", "r_start"))
 def _train_jit(data, w0, order, gdist, n_steps, batch_size, lr_start, lr_end,
                r_start):
-    return _train_scan(data, w0, order, gdist, n_steps, batch_size,
+    return _train_loop(data, w0, order, gdist, n_steps, batch_size,
                        lr_start, lr_end, r_start)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(n - 1, 1).bit_length()
 
 
 def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
@@ -289,15 +293,69 @@ def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
     total = int(num_passes) * n
     bs = int(min(batch_size, max(total, 1)))
     n_steps = max(total // bs, 1)
-    # seeded shuffled visiting order, wrapped to n_steps*bs rows
+    # seeded shuffled visiting order, wrapped to n_steps*bs rows; both data
+    # rows and the order are padded to power-of-2 shapes so different cohort
+    # sizes hit at most log2(n) compile buckets (n_steps itself is traced)
     perm = jax.random.permutation(k_order, n)
     reps = (n_steps * bs + n - 1) // n
     order = jnp.tile(perm, reps)[: n_steps * bs]
+    order_pad = _next_pow2(n_steps * bs)
+    order = jnp.pad(order, (0, order_pad - n_steps * bs))
+    data_pad = _next_pow2(n)
+    data_padded = jnp.pad(data, ((0, data_pad - n), (0, 0)))
 
     r0 = radius_start if radius_start is not None else default_radius_start(xdim, ydim)
     gdist = jnp.asarray(grid_distances(xdim, ydim))
-    w = _train_jit(data, w0, order, gdist, n_steps, bs,
+    w = _train_jit(data_padded, w0, order, gdist, jnp.int32(n_steps), bs,
                    float(lr_start), float(lr_end), float(r0))
+    return np.asarray(w)
+
+
+def som_train_sharded(data, mesh, data_axis: str = "fov", xdim: int = 10,
+                      ydim: int = 10, num_passes: int = 1,
+                      lr_start: float = 0.05, lr_end: float = 0.01,
+                      seed: int = 42, batch_size: int = 4096,
+                      radius_start: Optional[float] = None) -> np.ndarray:
+    """Multi-chip SOM training: the full lr/radius schedule with the batch
+    dimension sharded over `data_axis` and the (HᵀX, Hᵀ1) statistics
+    all-reduced over ICI every step (SURVEY.md §2.5(c)).
+
+    Semantics match `som_train` (same schedule/init); the batch partitioning
+    differs, so weights agree distributionally, not bitwise.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data = jnp.asarray(data, jnp.float32)
+    n, c = data.shape
+    k = xdim * ydim
+    n_dev = mesh.devices.size
+    key = jax.random.PRNGKey(seed)
+    k_init, k_order = jax.random.split(key)
+    init_rows = jax.random.choice(k_init, n, shape=(k,), replace=n < k)
+    w0 = jnp.take(data, init_rows, axis=0)
+
+    bs = int(min(batch_size, max(n, 1)))
+    bs = max((bs // n_dev) * n_dev, n_dev)           # divisible shards
+    n_steps = max((int(num_passes) * n) // bs, 1)
+    perm = jax.random.permutation(k_order, n)
+    reps = (n_steps * bs + n - 1) // n
+    order = np.asarray(jnp.tile(perm, reps)[: n_steps * bs])
+    r0 = radius_start if radius_start is not None \
+        else default_radius_start(xdim, ydim)
+    gdist = jnp.asarray(grid_distances(xdim, ydim))
+    step = make_sharded_train_step(mesh, data_axis=data_axis)
+    batch_sharding = NamedSharding(mesh, P(data_axis))
+
+    w = w0
+    denom = max(n_steps - 1, 1)
+    for t in range(n_steps):
+        frac = t / denom
+        alpha = lr_start + (lr_end - lr_start) * frac
+        radius = r0 * (1.0 - frac)
+        x = jax.device_put(
+            jnp.take(data, jnp.asarray(order[t * bs:(t + 1) * bs]), axis=0),
+            batch_sharding)
+        w = step(w, x, jnp.float32(alpha), jnp.float32(radius), gdist)
     return np.asarray(w)
 
 

@@ -1,0 +1,186 @@
+"""End-to-end cohort benchmark: segment-quantify → pixel-cluster →
+cell-cluster stats → spatial stats on a synthetic cohort (BASELINE.json
+north-star: "full example-cohort pipeline in minutes on one v5e").
+
+Protocol: all stages are warmed with same-shape calls first (compiles are
+excluded — they are one-time and, on this development attach, happen over a
+remote-compile tunnel), then timed with device-resident data. A separate
+`host_to_device` stage reports the measured transfer bandwidth of this attach
+so the IO-inclusive number can be derived; on a production v5e host the PCIe
+link replaces the development tunnel and host IO is overlapped via
+ark_tpu.parallel.prefetch.
+
+Usage: python benchmarks/cohort_benchmark.py [--fovs 10] [--size 1024]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42):
+    import jax
+    import jax.numpy as jnp
+    from ark_tpu.ops import image_filters, segment_reduce, som as som_ops
+    from ark_tpu.ops import distances as dist_ops
+    from ark_tpu.analysis import spatial_enrichment as se
+    from ark_tpu.utils.profiling import StageTimer
+
+    rng = np.random.default_rng(seed)
+    timer = StageTimer(verbose=True)
+    n_pix = n_fovs * size * size
+
+    # ---- measure this attach's host->device bandwidth with one FOV
+    host_fov = rng.random((size, size, channels), dtype=np.float32)
+    dev = jax.device_put(host_fov)
+    jax.block_until_ready(dev)
+    t0 = time.perf_counter()
+    dev = jax.device_put(host_fov * 1.001)
+    jax.block_until_ready(dev)
+    h2d_s = time.perf_counter() - t0
+    h2d_gbps = host_fov.nbytes / h2d_s / 1e9
+
+    # ---- synthesize the cohort on device (production path overlaps host
+    # TIFF IO with compute via PrefetchLoader; see PERF.md note)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_fovs)
+    make_img = jax.jit(lambda k: jax.random.uniform(
+        k, (size, size, channels), jnp.float32))
+    make_labels = jax.jit(lambda k: jax.random.randint(
+        k, (size, size), 0, cells_per_fov, jnp.int32))
+    imgs = [jax.block_until_ready(make_img(k)) for k in keys]
+    labels = [jax.block_until_ready(make_labels(k)) for k in keys]
+
+    img_stack = jnp.stack(imgs)          # (F, H, W, C) device-resident
+    label_stack = jnp.stack(labels)
+
+    # ---- stage 0: cohort channel percentiles (one device call, scan over FOVs)
+    @jax.jit
+    def chan_pct_all(stack):
+        def one(_, img):
+            flat = img.reshape(-1, channels)
+            masked = jnp.where(flat > 0, flat, jnp.nan)
+            return None, jnp.nanquantile(masked, 0.99, axis=0)
+        _, out = jax.lax.scan(one, None, stack)
+        return jnp.mean(out, axis=0)
+
+    jax.block_until_ready(chan_pct_all(img_stack[:1]))  # warm (same rank)
+    jax.block_until_ready(chan_pct_all(img_stack))      # warm full shape
+    with timer.stage("channel_percentiles", items=n_pix, unit="pixels"):
+        norms = jax.block_until_ready(chan_pct_all(img_stack))
+
+    # ---- stage 1: SOM training on a 10% cohort subsample
+    n_sub = int(0.1 * n_pix)
+    sub = jax.random.uniform(jax.random.PRNGKey(1), (n_sub, channels))
+    weights = som_ops.som_train(np.asarray(sub[:4096]), seed=seed)  # warm
+    with timer.stage("som_train", items=n_sub, unit="pixels"):
+        weights = som_ops.som_train(np.asarray(sub), seed=seed)
+
+    post_norms = jnp.asarray(rng.random(channels).astype(np.float32) + 0.5)
+    wj = jnp.asarray(weights, jnp.float32)
+
+    # ---- stage 2: pixel pipeline per FOV
+    @jax.jit
+    def pixel_fov(img):
+        x = img / norms
+        x = image_filters.gaussian_blur(x, sigma=2)
+        mat = x.reshape(size * size, channels)
+        rowsums = jnp.sum(mat, axis=1)
+        valid = (rowsums > 0.05) & jnp.any(mat != 0, axis=1)
+        nm = mat / jnp.where(rowsums == 0, 1.0, rowsums)[:, None]
+        nm = nm / post_norms
+        idx, _ = som_ops.bmu_pallas(wj, nm, return_dist=False)
+        return jnp.where(valid, idx + 1, 0).astype(jnp.int32)
+
+    @jax.jit
+    def pixel_all(stack):
+        def one(_, img):
+            return None, pixel_fov(img)
+        _, out = jax.lax.scan(one, None, stack)
+        return out
+
+    jax.block_until_ready(pixel_all(img_stack))  # warm
+    with timer.stage("pixel_pipeline", items=n_pix, unit="pixels"):
+        clusters = jax.block_until_ready(pixel_all(img_stack))
+
+    # ---- stage 3: marker quantification
+    @jax.jit
+    def quant_fov(img, lab):
+        sums = segment_reduce.channel_sums(img, lab, cells_per_fov)
+        feats = segment_reduce.moment_features(lab, cells_per_fov)
+        return sums, feats["area"], feats["centroid-0"], feats["centroid-1"]
+
+    @jax.jit
+    def quant_all(istack, lstack):
+        def one(_, pair):
+            img, lab = pair
+            return None, quant_fov(img, lab)
+        _, out = jax.lax.scan(one, None, (istack, lstack))
+        return out
+
+    jax.block_until_ready(quant_all(img_stack, label_stack))  # warm
+    with timer.stage("marker_quantification", items=n_pix, unit="pixels"):
+        quants_all = jax.block_until_ready(quant_all(img_stack, label_stack))
+    quants = [tuple(q[i] for q in quants_all) for i in range(n_fovs)]
+
+    # ---- stage 4: cell SOM over quantified features (cells x channels)
+    cell_feats = np.concatenate([np.asarray(q[0])[1:] for q in quants])
+    cw = som_ops.som_train(cell_feats, seed=seed)  # warm compile bucket
+    with timer.stage("cell_som", items=len(cell_feats), unit="cells"):
+        cell_w = som_ops.som_train(cell_feats, seed=seed)
+        cell_clusters, _ = som_ops.som_map(cell_w, cell_feats,
+                                           return_dist=False)
+
+    # ---- stage 5: spatial stats (distances + enrichment permutations)
+    n_markers, boots = 20, 100
+    pos = jnp.asarray(
+        (rng.random((n_markers, cells_per_fov)) < 0.2).astype(np.float32))
+
+    @jax.jit
+    def spatial_fov(cy, cx, pos):
+        coords = jnp.stack([cy, cx], axis=1)
+        d = dist_ops.pairwise_distances(coords, coords)
+        dist_bin = ((d < 50) & (d > 0)).astype(jnp.float32)
+        null = se._permutation_null(dist_bin, pos, 42, boots)
+        obs = se._observed(dist_bin, pos)
+        return obs, null.mean(0), null.std(0)
+
+    @jax.jit
+    def spatial_all(cys, cxs, pos):
+        def one(_, pair):
+            cy, cx = pair
+            return None, spatial_fov(cy, cx, pos)
+        _, out = jax.lax.scan(one, None, (cys, cxs))
+        return out
+
+    cys = jnp.stack([q[2] for q in quants])
+    cxs = jnp.stack([q[3] for q in quants])
+    jax.block_until_ready(spatial_all(cys, cxs, pos))  # warm
+    with timer.stage("spatial_enrichment", items=n_fovs * boots,
+                     unit="permutations"):
+        outs = jax.block_until_ready(spatial_all(cys, cxs, pos))
+
+    total = timer.total_seconds
+    print(json.dumps({
+        "benchmark": "cohort_pipeline",
+        "n_fovs": n_fovs, "fov_size": size, "channels": channels,
+        "total_seconds": round(total, 2),
+        "mpix_per_s_end_to_end": round(n_pix / total / 1e6, 1),
+        "host_to_device_GBps_this_attach": round(h2d_gbps, 2),
+        "stages": timer.report(),
+    }))
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--fovs", type=int, default=10)
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--channels", type=int, default=16)
+    a = p.parse_args()
+    main(a.fovs, a.size, a.channels)

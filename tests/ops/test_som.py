@@ -107,3 +107,21 @@ def test_sharded_train_step_matches_single_device(rng):
     target = num / np.maximum(den, 1.0)[:, None]
     w_ref = np.where((den > 0)[:, None], w0 + 0.05 * (target - w0), w0)
     np.testing.assert_allclose(np.asarray(w_sharded), w_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_som_train_sharded_full_loop(rng):
+    from jax.sharding import Mesh
+    data, labels = _clustered_data(rng, n_per=200, c=4)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("fov",))
+    w = som.som_train_sharded(data, mesh, num_passes=2, batch_size=256,
+                              seed=42)
+    assert w.shape == (100, 4)
+    clusters, _ = som.som_map(w, data, impl="xla")
+    # same purity check as the single-device trainer
+    node_sets = []
+    for i in range(4):
+        nodes, counts = np.unique(clusters[labels == i], return_counts=True)
+        node_sets.append(set(nodes[counts > counts.sum() * 0.05]))
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert not (node_sets[i] & node_sets[j])
