@@ -222,19 +222,26 @@ def som_map(weights, data, impl: str = "auto",
 # Training
 # ---------------------------------------------------------------------------
 
-def _train_loop(data: jax.Array, w0: jax.Array, order: jax.Array,
+# fixed scan length: the lr/radius schedule always spans MAX_TRAIN_STEPS
+# minibatch updates; batch size absorbs the data size (steps past the real
+# n_steps are masked out). A fixed-length scan compiles in seconds, where a
+# dynamic-trip-count while loop took minutes on the TPU toolchain, and the
+# pow2 batch buckets mean different cohort sizes reuse the same executable.
+MAX_TRAIN_STEPS = 256
+
+
+def _train_scan(data: jax.Array, w0: jax.Array, order: jax.Array,
                 gdist: jax.Array, n_steps: jax.Array, batch_size: int,
                 lr_start: float, lr_end: float, r_start: float,
                 axis_name: Optional[str] = None) -> jax.Array:
-    """Batch-Kohonen training loop. `order` is the pre-shuffled row index
-    sequence (padded; only the first n_steps*batch_size entries are visited —
-    n_steps is a traced scalar so data-size changes don't force recompiles)."""
-    n, c = data.shape
-    k = w0.shape[0]
+    """Batch-Kohonen training: fixed-length scan, first `n_steps` active.
+
+    `order` has MAX_TRAIN_STEPS*batch_size pre-shuffled row indices."""
     denom = jnp.maximum(n_steps - 1, 1).astype(jnp.float32)
 
-    def step(t, w):
-        frac = t.astype(jnp.float32) / denom
+    def step(w, t):
+        active = t < n_steps
+        frac = jnp.minimum(t, n_steps - 1).astype(jnp.float32) / denom
         alpha = lr_start + (lr_end - lr_start) * frac
         radius = r_start * (1.0 - frac)
         rows = jax.lax.dynamic_slice_in_dim(order, t * batch_size, batch_size)
@@ -250,17 +257,18 @@ def _train_loop(data: jax.Array, w0: jax.Array, order: jax.Array,
             num = jax.lax.psum(num, axis_name)
             den = jax.lax.psum(den, axis_name)
         target = num / jnp.maximum(den, 1.0)[:, None]
-        upd = (den > 0)[:, None]
-        return jnp.where(upd, w + alpha * (target - w), w)
+        upd = active & (den > 0)[:, None]
+        return jnp.where(upd, w + alpha * (target - w), w), None
 
-    return jax.lax.fori_loop(0, n_steps, step, w0)
+    w, _ = jax.lax.scan(step, w0, jnp.arange(MAX_TRAIN_STEPS))
+    return w
 
 
 @functools.partial(jax.jit, static_argnames=(
     "batch_size", "lr_start", "lr_end", "r_start"))
 def _train_jit(data, w0, order, gdist, n_steps, batch_size, lr_start, lr_end,
                r_start):
-    return _train_loop(data, w0, order, gdist, n_steps, batch_size,
+    return _train_scan(data, w0, order, gdist, n_steps, batch_size,
                        lr_start, lr_end, r_start)
 
 
@@ -275,34 +283,36 @@ def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
     """Train a SOM, TPU batch-parallel (defaults mirror `cluster_helpers.py:
     54-56` / `pixel_som_clustering.py:19-21`: 10×10 grid, 1 pass, lr .05→.01,
     seed 42). Returns (xdim*ydim, C) float32 weights."""
-    data = jnp.asarray(data, jnp.float32)
+    data = np.asarray(data, np.float32)
     n, c = data.shape
     if n == 0:
         raise ValueError("cannot train SOM on empty data")
     k = xdim * ydim
-    key = jax.random.PRNGKey(seed)
-    k_init, k_order = jax.random.split(key)
+    # seeded host RNG for init/shuffle: deterministic, and avoids per-n
+    # device-RNG compiles (jax.random.permutation jits per input size)
+    host_rng = np.random.default_rng(seed)
 
     if weights_init is None:
         # FlowSOM initializes codes from a random sample of observations
-        init_rows = jax.random.choice(k_init, n, shape=(k,), replace=n < k)
-        w0 = jnp.take(data, init_rows, axis=0)
+        init_rows = host_rng.choice(n, size=k, replace=n < k)
+        w0 = jnp.asarray(data[init_rows])
     else:
         w0 = jnp.asarray(weights_init, jnp.float32)
 
     total = int(num_passes) * n
-    bs = int(min(batch_size, max(total, 1)))
+    # pow2 batch bucket sized so the schedule spans ~MAX_TRAIN_STEPS updates;
+    # `batch_size` acts as a floor (callers tuning throughput raise it)
+    bs = _next_pow2(max(total // MAX_TRAIN_STEPS, 1))
+    bs = int(max(min(bs, 1 << 16), min(batch_size, _next_pow2(total))))
     n_steps = max(total // bs, 1)
-    # seeded shuffled visiting order, wrapped to n_steps*bs rows; both data
-    # rows and the order are padded to power-of-2 shapes so different cohort
-    # sizes hit at most log2(n) compile buckets (n_steps itself is traced)
-    perm = jax.random.permutation(k_order, n)
-    reps = (n_steps * bs + n - 1) // n
-    order = jnp.tile(perm, reps)[: n_steps * bs]
-    order_pad = _next_pow2(n_steps * bs)
-    order = jnp.pad(order, (0, order_pad - n_steps * bs))
+    # seeded shuffled visiting order, wrapped to the fixed scan extent; data
+    # rows are pow2-padded so cohort sizes reuse few compiled executables
+    perm = host_rng.permutation(n)
+    order_len = MAX_TRAIN_STEPS * bs
+    reps = (order_len + n - 1) // n
+    order = jnp.asarray(np.tile(perm, reps)[:order_len].astype(np.int32))
     data_pad = _next_pow2(n)
-    data_padded = jnp.pad(data, ((0, data_pad - n), (0, 0)))
+    data_padded = jnp.asarray(np.pad(data, ((0, data_pad - n), (0, 0))))
 
     r0 = radius_start if radius_start is not None else default_radius_start(xdim, ydim)
     gdist = jnp.asarray(grid_distances(xdim, ydim))
