@@ -70,25 +70,35 @@ class Mesmer:
 
         Returns {'whole_cell': (B, H, W) int32 labels,
                  'nuclear': (B, H, W) int32 labels}.
+
+        The per-FOV watershed postprocess runs in a thread pool (the native
+        C++ flood releases the GIL), overlapped across the batch.
         """
+        import concurrent.futures
+
         import scipy.ndimage as ndi
 
         x = _percentile_normalize(jnp.asarray(batch, jnp.float32))
         out = self._forward(self.variables, x)
+
+        def postprocess_one(args):
+            inner_b, interior_b, maxima_b = args
+            markers, _ = ndi.label(maxima_b)
+            mask = interior_b > interior_threshold
+            lab = watershed_ops.watershed(-inner_b, markers, mask)
+            return morphology.remove_small_objects(lab,
+                                                   min_size=min_cell_size)
+
         labels = {}
         for comp in ("whole_cell", "nuclear"):
             inner = jnp.asarray(out[f"{comp}_inner_distance"][..., 0])
             interior = np.asarray(out[f"{comp}_pixelwise"][..., 0])
             maxima = np.asarray(_find_maxima(inner, maxima_threshold))
             inner_np = np.asarray(inner)
-            batch_labels = []
-            for b in range(inner_np.shape[0]):
-                markers, _ = ndi.label(maxima[b])
-                mask = interior[b] > interior_threshold
-                lab = watershed_ops.watershed(-inner_np[b], markers, mask)
-                lab = morphology.remove_small_objects(lab,
-                                                      min_size=min_cell_size)
-                batch_labels.append(lab)
+            work = [(inner_np[b], interior[b], maxima[b])
+                    for b in range(inner_np.shape[0])]
+            with concurrent.futures.ThreadPoolExecutor() as pool:
+                batch_labels = list(pool.map(postprocess_one, work))
             labels[comp] = np.stack(batch_labels).astype(np.int32)
         return labels
 
