@@ -8,7 +8,6 @@ compute_mixing_score :432-524)."""
 
 from __future__ import annotations
 
-import os
 import warnings
 
 import numpy as np

@@ -13,8 +13,6 @@ the container is this framework's HDF5 DataArray format."""
 from __future__ import annotations
 
 import os
-from typing import List, Optional
-
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd

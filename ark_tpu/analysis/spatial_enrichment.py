@@ -16,7 +16,7 @@ enrichment/depletion p-values with Benjamini–Hochberg adjustment.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

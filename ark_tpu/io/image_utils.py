@@ -4,7 +4,6 @@ and tifffile; SURVEY.md §1 L0). Handles float32/int32/uint16/int8 TIFFs."""
 from __future__ import annotations
 
 import os
-import warnings
 
 import numpy as np
 import imageio.v3 as iio

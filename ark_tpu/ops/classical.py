@@ -11,13 +11,13 @@ histogram-equalization table math is vectorized numpy on host.
 from __future__ import annotations
 
 import functools
-from typing import Iterable, Tuple
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ark_tpu.ops.image_filters import gaussian_kernel1d, _conv1d_axis
+from ark_tpu.ops.image_filters import _conv1d_axis
 
 
 def _gaussian_derivative_kernel1d(sigma: float, order: int,

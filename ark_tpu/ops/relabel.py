@@ -8,8 +8,7 @@ vectorized for host callers."""
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Union
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,13 +9,11 @@ statistics reduce over ICI with psum."""
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import PartitionSpec as P
-
 from ark_tpu.ops import image_filters, som as som_ops
 from ark_tpu.parallel import mesh as mesh_utils
 

@@ -29,7 +29,7 @@ import pandas as pd
 from scipy.stats import zscore
 
 from ark_tpu.io import feather_utils as feather
-from ark_tpu.io.io_utils import list_files, validate_paths, natsorted
+from ark_tpu.io.io_utils import list_files, validate_paths
 from ark_tpu.io.misc_utils import verify_in_list
 from ark_tpu.ops import som as som_ops
 

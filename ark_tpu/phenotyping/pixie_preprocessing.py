@@ -23,8 +23,6 @@ from __future__ import annotations
 import functools
 import os
 from shutil import rmtree
-from typing import List, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

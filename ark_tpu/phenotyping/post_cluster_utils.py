@@ -6,8 +6,7 @@ from __future__ import annotations
 
 import itertools
 import os
-import pathlib
-from typing import List, Union
+from typing import List
 
 import matplotlib.pyplot as plt
 import numpy as np

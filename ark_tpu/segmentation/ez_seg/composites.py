@@ -5,8 +5,6 @@ pixel-cluster images, binary or total modes."""
 from __future__ import annotations
 
 import pathlib
-from typing import List, Union
-
 import numpy as np
 
 from ark_tpu.io import load_utils

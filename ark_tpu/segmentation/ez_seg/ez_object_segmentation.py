@@ -11,11 +11,10 @@ labeling → area filtering. Blur/ridge/threshold ops run on device
 from __future__ import annotations
 
 import pathlib
-from typing import Optional, Union
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
-import pandas as pd
 
 from ark_tpu.io import io_utils, load_utils
 from ark_tpu.io.image_utils import save_image

@@ -4,10 +4,7 @@ Mask outlines come from the device boundary op instead of skimage canny."""
 
 from __future__ import annotations
 
-import os
 import pathlib
-from typing import Union
-
 import jax.numpy as jnp
 import matplotlib.gridspec as gridspec
 import matplotlib.pyplot as plt

@@ -8,7 +8,7 @@ import os
 import pathlib
 import re
 import shutil
-from typing import List, Union
+from typing import List
 
 import numpy as np
 import pandas as pd

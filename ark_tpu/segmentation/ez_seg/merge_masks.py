@@ -11,12 +11,11 @@ from __future__ import annotations
 
 import os
 import pathlib
-from typing import List, Union
+from typing import List
 
 import numpy as np
 import pandas as pd
 
-from ark_tpu.io import load_utils
 from ark_tpu.io.image_utils import read_image, save_image
 from ark_tpu.segmentation.ez_seg.ez_seg_utils import log_creator
 

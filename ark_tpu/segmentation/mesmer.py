@@ -16,14 +16,14 @@ and numerically well-formed either way).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ark_tpu.models import unet
-from ark_tpu.ops import image_filters, morphology
+from ark_tpu.ops import morphology
 from ark_tpu.ops import watershed as watershed_ops
 
 

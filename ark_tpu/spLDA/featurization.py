@@ -11,7 +11,7 @@ reference dependency's per-cell process pool."""
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -12,8 +12,7 @@ for compatibility and ignored; `zip_size` becomes the device batch size."""
 from __future__ import annotations
 
 import os
-import warnings
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

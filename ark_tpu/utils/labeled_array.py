@@ -11,7 +11,6 @@ persistence (h5py), and zero-copy `.values` access.
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, List, Sequence, Union
 
 import numpy as np

@@ -7,9 +7,6 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import numpy as np
-
-
 class MetaClusterData:
     """Holds cluster/metacluster state during interactive remapping."""
 

@@ -16,7 +16,6 @@ import pandas as pd
 
 from .metaclusterdata import MetaClusterData
 from .throttle import throttle
-from .colormap_helper import distinct_cmap
 from .zscore_norm import ZScoreNormalize
 
 DEFAULT_HEATMAP_COLORMAP = "vlag"

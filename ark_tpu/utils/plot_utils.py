@@ -16,7 +16,7 @@ import os
 import pathlib
 import shutil
 from dataclasses import dataclass, field
-from typing import Dict, List, Literal, Optional, Tuple, Union
+from typing import Dict, List, Optional, Tuple, Union
 
 import jax.numpy as jnp
 import matplotlib.colors as colors
