@@ -105,44 +105,72 @@ def _bmu_packed_kernel(x_ref, wb_ref, w2_ref, idx_ref, dist_ref):
     wb_ref: (128, P*128)  shifted weight bank
     w2_ref: (1, P*128)    tiled node norms, +inf on padding
     idx_ref, dist_ref: (BN, P) outputs
+
+    The per-slot reductions use static lane slices — a (BN, P, 128) reshape +
+    axis-2 argmin forces Mosaic relayouts that cost ~10x (75 vs 756 Mpix/s
+    measured on v5e with data-dependent rep loops).
     """
-    bn = x_ref.shape[0]
     p = idx_ref.shape[1]
     xw = jnp.dot(x_ref[:], wb_ref[:], preferred_element_type=jnp.float32)
-    d = (w2_ref[:] - 2.0 * xw).reshape(bn, p, _LANE)
-    idx_ref[:] = jnp.argmin(d, axis=2).astype(jnp.int32)
-    dist_ref[:] = jnp.min(d, axis=2)
+    d = w2_ref[:] - 2.0 * xw
+    idx_cols = []
+    dist_cols = []
+    for slot in range(p):
+        d_slot = d[:, slot * _LANE:(slot + 1) * _LANE]
+        idx_cols.append(jnp.argmin(d_slot, axis=1).astype(jnp.int32))
+        dist_cols.append(jnp.min(d_slot, axis=1))
+    idx_ref[:] = jnp.stack(idx_cols, axis=1)
+    dist_ref[:] = jnp.stack(dist_cols, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "pack"))
+def _bmu_packed_kernel_idx(x_ref, wb_ref, w2_ref, idx_ref):
+    """idx-only variant of `_bmu_packed_kernel` — the second (distance)
+    output costs ~4x on v5e, so the default return_dist=False path uses this
+    kernel."""
+    p = idx_ref.shape[1]
+    xw = jnp.dot(x_ref[:], wb_ref[:], preferred_element_type=jnp.float32)
+    d = w2_ref[:] - 2.0 * xw
+    idx_cols = []
+    for slot in range(p):
+        d_slot = d[:, slot * _LANE:(slot + 1) * _LANE]
+        idx_cols.append(jnp.argmin(d_slot, axis=1).astype(jnp.int32))
+    idx_ref[:] = jnp.stack(idx_cols, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "pack", "with_dist"))
 def _bmu_pallas_packed(data_packed: jax.Array, wbig: jax.Array, w2_p: jax.Array,
-                       block_n: int, pack: int):
+                       block_n: int, pack: int, with_dist: bool = True):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     npk = data_packed.shape[0]
     kp = _LANE
-    idx, dist = pl.pallas_call(
-        _bmu_packed_kernel,
-        grid=(npk // block_n,),
-        in_specs=[
-            pl.BlockSpec((block_n, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_LANE, pack * kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pack * kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block_n, pack), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, pack), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((npk, pack), jnp.int32),
-            jax.ShapeDtypeStruct((npk, pack), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * npk * _LANE * pack * kp, transcendentals=0,
-            bytes_accessed=4 * (npk * _LANE + _LANE * pack * kp + npk * pack * 2)),
+    in_specs = [
+        pl.BlockSpec((block_n, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_LANE, pack * kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pack * kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((block_n, pack), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * npk * _LANE * pack * kp, transcendentals=0,
+        bytes_accessed=4 * (npk * _LANE + _LANE * pack * kp + npk * pack * 2))
+    if with_dist:
+        idx, dist = pl.pallas_call(
+            _bmu_packed_kernel, grid=(npk // block_n,), in_specs=in_specs,
+            out_specs=[out_spec, out_spec],
+            out_shape=[jax.ShapeDtypeStruct((npk, pack), jnp.int32),
+                       jax.ShapeDtypeStruct((npk, pack), jnp.float32)],
+            cost_estimate=cost,
+        )(data_packed, wbig, w2_p)
+        return idx.reshape(-1), dist.reshape(-1)
+    idx = pl.pallas_call(
+        _bmu_packed_kernel_idx, grid=(npk // block_n,), in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((npk, pack), jnp.int32),
+        cost_estimate=cost,
     )(data_packed, wbig, w2_p)
-    return idx.reshape(-1), dist.reshape(-1)
+    return idx.reshape(-1), None
 
 
 def _prepare_bmu_operands(weights: jax.Array, c: int):
@@ -188,7 +216,8 @@ def bmu_pallas(weights: jax.Array, data: jax.Array, block_n: int = 1024,
         data = jnp.pad(data, ((0, n_p - n), (0, cpad - c)))
     data_packed = data.reshape(n_p // pack, _LANE)
 
-    idx, dist = _bmu_pallas_packed(data_packed, wbig, w2_p, block_n, pack)
+    idx, dist = _bmu_pallas_packed(data_packed, wbig, w2_p, block_n, pack,
+                                   with_dist=return_dist)
     if not return_dist:
         return idx[:n], None
     x2 = jnp.sum(data * data, axis=1)

@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 
-def _bench_tpu(n, c, k, reps=20):
+def _bench_tpu(n, c, k, reps=10):
     import jax
     import jax.numpy as jnp
     from ark_tpu.ops import som
@@ -34,20 +34,29 @@ def _bench_tpu(n, c, k, reps=20):
             idx, _ = som.bmu_xla(w, d)
         return idx
 
+    # each rep's input depends on the previous output so XLA cannot hoist the
+    # kernel out of the loop (and the remote relay cannot replay a cached
+    # execution) — the measured time includes one extra elementwise pass over
+    # the data per rep, so this modestly UNDERSTATES kernel throughput
     @jax.jit
     def loop(d):
         def body(carry, _):
-            return carry, jnp.sum(one(d))
-        _, out = jax.lax.scan(body, 0.0, jnp.arange(reps))
+            idx = one(d * (1.0 + carry))
+            s = jnp.sum(idx)
+            return (s % 7).astype(jnp.float32) * 1e-12, s
+        _, out = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
         return out
 
     out = loop(data)
     np.asarray(out)  # warmup + force completion
-    t0 = time.perf_counter()
-    out = loop(data)
-    np.asarray(out)
-    dt = (time.perf_counter() - t0) / reps
-    return n / dt / 1e6  # Mpix/s
+    best = float("inf")
+    for trial in range(3):  # best-of-3: the first post-compile execution on
+        # this attach is often 3-6x slower than steady state
+        t0 = time.perf_counter()
+        out = loop(data * (1.0001 + 1e-4 * trial))
+        np.asarray(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return n / best / 1e6  # Mpix/s
 
 
 def _bench_cpu_numpy(n, c, k, chunk=1_000_000):
