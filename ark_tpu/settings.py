@@ -60,4 +60,7 @@ BASE_COLS = [FOV_ID, CELL_LABEL, CELL_SIZE, CENTROID_0, CENTROID_1, CELL_TYPE]
 EDA_KEYS = ['inertia', 'silhouette', 'gap_stat', 'gap_sds', 'cell_counts', 'featurization']
 LDA_PLOT_TYPES = ['adjacency', 'topic_assignment']
 
+# mibitracker
+MIBITRACKER_BACKEND = 'https://backend-dot-mibitracker-angelolab.appspot.com'
+
 EXAMPLE_DATASET_REVISION: str = 'main'
