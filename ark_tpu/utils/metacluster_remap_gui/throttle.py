@@ -1,57 +1,50 @@
-"""Async rate-limiting decorator for GUI callbacks (reference
-`src/ark/utils/metacluster_remap_gui/throttle.py:5-70`): first call fires
-immediately, intermediate calls are dropped, the final call always lands."""
+"""Trailing-edge rate limiter for GUI callbacks.
+
+Behavioral contract (matches the reference GUI's needs,
+`metacluster_remap_gui/throttle.py`): the first call in a quiet period fires
+immediately; calls arriving inside the wait window replace any pending call;
+the final call always executes. Implemented as a single debouncer class
+scheduling trailing invocations on the running asyncio loop (ipywidgets
+callbacks run inside one)."""
 
 from __future__ import annotations
 
 import asyncio
-from time import time
+import functools
+import time
 
 
-def throttle(wait):
-    """Decorator factory: rate-limit `fn` to once per `wait` seconds inside
-    an asyncio app, guaranteeing the last call executes."""
+class _Debouncer:
+    def __init__(self, fn, wait: float):
+        self._fn = fn
+        self._wait = wait
+        self._last_fired = float("-inf")
+        self._pending: asyncio.Task | None = None
+
+    def __call__(self, *args, **kwargs):
+        if self._pending is not None:
+            self._pending.cancel()
+            self._pending = None
+        remaining = self._wait - (time.monotonic() - self._last_fired)
+        if remaining <= 0:
+            self._fire(args, kwargs)
+            return
+        self._pending = asyncio.ensure_future(
+            self._fire_later(remaining, args, kwargs))
+
+    def _fire(self, args, kwargs):
+        self._last_fired = time.monotonic()
+        self._fn(*args, **kwargs)
+
+    async def _fire_later(self, delay, args, kwargs):
+        await asyncio.sleep(delay)
+        self._fire(args, kwargs)
+
+
+def throttle(wait: float):
+    """Decorator factory: limit `fn` to one call per `wait` seconds, always
+    delivering the most recent call's arguments."""
     def decorator(fn):
-        time_of_last_call = 0
-        timer = _NullTimer()
-
-        def current_wait_time():
-            time_since_last_call = time() - time_of_last_call
-            return max(0, wait - time_since_last_call)
-
-        def throttled(*args, **kwargs):
-            nonlocal time_of_last_call, timer
-
-            def call_it():
-                nonlocal time_of_last_call
-                time_of_last_call = time()
-                fn(*args, **kwargs)
-
-            timer.cancel()
-            timer = _Timer(current_wait_time(), call_it)
-            timer.start()
-        return throttled
+        debouncer = _Debouncer(fn, wait)
+        return functools.wraps(fn)(debouncer.__call__)
     return decorator
-
-
-class _NullTimer:
-    def cancel(self):
-        pass
-
-
-class _Timer:
-    def __init__(self, timeout, callback):
-        self._task = None
-        self._timeout = timeout
-        self._callback = callback
-
-    async def _job(self):
-        await asyncio.sleep(self._timeout)
-        self._callback()
-
-    def start(self):
-        self._task = asyncio.ensure_future(self._job())
-
-    def cancel(self):
-        if self._task is not None:
-            self._task.cancel()

@@ -1,5 +1,8 @@
-"""Two-segment z-score colormap normalizer (reference
-`src/ark/utils/metacluster_remap_gui/zscore_norm.py:5`)."""
+"""Two-segment colormap normalizer for z-score heatmaps.
+
+Maps [vmin, vcenter] linearly onto [0, 0.5] and [vcenter, vmax] onto
+[0.5, 1.0] so the center of a diverging colormap sits at z = vcenter
+(used by the metacluster remap GUI's heatmaps)."""
 
 from __future__ import annotations
 
@@ -8,23 +11,29 @@ from matplotlib.colors import Normalize
 
 
 class ZScoreNormalize(Normalize):
-    """Piecewise-linear normalizer: [vmin,vcenter]→[0,.5], [vcenter,vmax]→[.5,1]."""
+    """Piecewise-linear Normalize with an explicit center value."""
 
     def __init__(self, vmin=-3, vcenter=0, vmax=3):
         self.vcenter = vcenter
         super().__init__(vmin, vmax)
 
-    def inverse(self, value):
-        return np.interp(value, [0, 0.5, 1],
-                         [self.vmin, self.vcenter, self.vmax])
-
-    def calibrate(self, values):
-        self.vmin = min([-np.max(values), 0])
-        self.vcenter = 0.0
-        self.vmax = np.max(values)
+    def _breakpoints(self):
+        return (np.array([self.vmin, self.vcenter, self.vmax]),
+                np.array([0.0, 0.5, 1.0]))
 
     def __call__(self, value, clip=None):
-        result, is_scalar = self.process_value(value)
-        normalized = np.interp(result, [self.vmin, self.vcenter, self.vmax],
-                               [0, 0.5, 1.0])
-        return np.ma.masked_array(normalized, mask=np.ma.getmask(result))
+        data, _ = self.process_value(value)
+        xs, ys = self._breakpoints()
+        mapped = np.interp(data, xs, ys)
+        return np.ma.masked_array(mapped, mask=np.ma.getmask(data))
+
+    def inverse(self, value):
+        xs, ys = self._breakpoints()
+        return np.interp(value, ys, xs)
+
+    def calibrate(self, values):
+        """Symmetric auto-range: center at 0, extent = max |value|."""
+        top = float(np.max(values))
+        self.vmin = min(-top, 0.0)
+        self.vcenter = 0.0
+        self.vmax = top
