@@ -124,9 +124,18 @@ def _compartment_features(labels: np.ndarray, images, cell_ids: np.ndarray,
     out = np.zeros((n_cells, 1 + n_channels + len(regionprops_names)))
     out[:, 0] = sizes[idx]
     out[:, 1:1 + n_channels] = counts[idx]
+    unsupported = []
     for j, name in enumerate(regionprops_names):
         if name in columns:
             out[:, 1 + n_channels + j] = columns[name]
+        else:
+            unsupported.append(name)
+    if unsupported:
+        warnings.warn(
+            f"regionprops features {unsupported} are not implemented by the "
+            f"TPU quantification engine; their columns are zero-filled "
+            f"(supported: moments-derived + convex-hull features, see "
+            f"ark_tpu.ops.segment_reduce / ark_tpu.ops.convex)")
     return out
 
 
