@@ -129,6 +129,54 @@ def load_imgs_from_dir(data_dir: str, files: Optional[List[str]] = None,
                                   "cols": np.arange(out.shape[2]), xr_dim_name: ch_names})
 
 
+def load_imgs_from_mibitiff(data_dir: str, mibitiff_files: Optional[List[str]] = None,
+                            channels: Optional[List[str]] = None,
+                            dtype=None) -> DataArray:
+    """Load MIBItiff-style multi-channel single-file FOVs into a
+    (fovs, rows, cols, channels) DataArray (re-provides
+    `alpineer.load_utils.load_imgs_from_mibitiff`; SURVEY.md §1 L0).
+
+    Each file is one FOV: a channels-first multi-page TIFF. Channel names are
+    read from a `<file>.channels.txt` sidecar (written by
+    `ark_tpu.io.ome_utils.fov_to_ome`) or OME-XML when present, else they are
+    generated as channel_<i>.
+    """
+    from ark_tpu.io.ome_utils import _read_channel_names
+
+    io_utils.validate_paths([data_dir])
+    if mibitiff_files is None:
+        mibitiff_files = io_utils.list_files(data_dir,
+                                             substrs=[".tiff", ".tif"])
+    blocks, names = [], []
+    channel_names = None
+    for f in mibitiff_files:
+        path = os.path.join(data_dir, f)
+        img = read_image(path)
+        if img.ndim == 2:
+            img = img[None]
+        file_channels = _read_channel_names(path, img.shape[0])
+        if channels is not None:
+            keep = [file_channels.index(c) for c in channels]
+            img = img[keep]
+            file_channels = list(channels)
+        if channel_names is None:
+            channel_names = file_channels
+        blocks.append(np.moveaxis(img, 0, -1))
+        name = f
+        for suffix in (".ome.tiff", ".ome.tif", ".tiff", ".tif"):
+            if name.endswith(suffix):
+                name = name[: -len(suffix)]
+                break
+        names.append(name)
+    out = np.stack(blocks, axis=0)
+    if dtype is not None:
+        out = out.astype(dtype)
+    return DataArray(out, coords={"fovs": names,
+                                  "rows": np.arange(out.shape[1]),
+                                  "cols": np.arange(out.shape[2]),
+                                  "channels": channel_names})
+
+
 def get_tiled_fov_names(fov_list: List[str], return_dims: bool = False):
     """From RnCm-style FOV names, compute the full expected tile grid
     (reference behavior: `alpineer.load_utils.get_tiled_fov_names`)."""

@@ -114,3 +114,23 @@ def test_ome_roundtrip(tmp_path):
         a = read_image(str(tmp_path / "tree" / "fov0" / f"{chan}.tiff"))
         b = read_image(os.path.join(out_dir, f"{chan}.tiff"))
         np.testing.assert_array_equal(a, b)
+
+
+def test_load_imgs_from_mibitiff(tmp_path):
+    from ark_tpu.io import ome_utils
+    chans = ["CD3", "CD45", "ECAD"]
+    test_utils.create_image_cohort(str(tmp_path / "tree"), ["fov0", "fov1"],
+                                   chans, shape=(16, 16))
+    ome_dir = tmp_path / "ome"
+    for fov in ["fov0", "fov1"]:
+        ome_utils.fov_to_ome(str(tmp_path / "tree" / fov), str(ome_dir))
+    da = load_utils.load_imgs_from_mibitiff(str(ome_dir))
+    assert da.shape == (2, 16, 16, 3)
+    assert list(da.coords["channels"]) == chans
+    # channel subset
+    da_sub = load_utils.load_imgs_from_mibitiff(str(ome_dir),
+                                                channels=["CD45"])
+    assert da_sub.shape == (2, 16, 16, 1)
+    a = da.sel(fovs="fov0", channels="CD45").values
+    b = read_image(str(tmp_path / "tree" / "fov0" / "CD45.tiff"))
+    np.testing.assert_array_equal(a, b)
