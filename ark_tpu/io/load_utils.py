@@ -145,8 +145,9 @@ def load_imgs_from_mibitiff(data_dir: str, mibitiff_files: Optional[List[str]] =
 
     io_utils.validate_paths([data_dir])
     if mibitiff_files is None:
-        mibitiff_files = io_utils.list_files(data_dir,
-                                             substrs=[".tiff", ".tif"])
+        mibitiff_files = [
+            f for f in io_utils.list_files(data_dir, substrs=[".tiff", ".tif"])
+            if f.endswith((".tiff", ".tif"))]
     blocks, names = [], []
     channel_names = None
     for f in mibitiff_files:
