@@ -159,3 +159,42 @@ def test_mixing_score(spatial_setup):
     with pytest.raises(ValueError):
         neighborhood_analysis.compute_mixing_score(
             fov_counts.copy(), ["A"], ["A", "B"], "percent")
+
+
+def _with_markers(cell_table):
+    """Add marker columns: m_a high in A cells, m_b high in B cells."""
+    out = cell_table.copy()
+    out["m_a"] = np.where(out[settings.CELL_TYPE] == "A", 1.0, 0.0)
+    out["m_b"] = np.where(out[settings.CELL_TYPE] == "B", 1.0, 0.0)
+    return out
+
+
+def test_compute_close_cell_num_channel_path(spatial_setup):
+    cell_table, dist_dir = spatial_setup
+    dm = spatial_analysis_utils.load_dist_matrix(dist_dir, "fov0")
+    fov_data = _with_markers(
+        cell_table[cell_table[settings.FOV_ID] == "fov0"])
+    close_num, mark1_num, pos = spatial_analysis_utils.compute_close_cell_num(
+        dm, dist_lim=15, analysis_type="channel",
+        current_fov_data=fov_data,
+        current_fov_channel_data=fov_data[["m_a", "m_b"]],
+        thresh_vec=[0.5, 0.5])
+    assert close_num.shape == (2, 2)
+    # m_a+/m_b+ pairs are the planted A<->B pairs at distance 10
+    assert close_num[0, 1] >= 20
+    assert close_num[0, 1] == close_num[1, 0]
+    # positive counts match the marker indicator sums
+    assert mark1_num[0] == int(fov_data["m_a"].sum())
+    assert mark1_num[1] == int(fov_data["m_b"].sum())
+
+
+def test_channel_spatial_enrichment(spatial_setup):
+    cell_table, dist_dir = spatial_setup
+    dm = spatial_analysis_utils.load_dist_matrix(dist_dir, "fov0")
+    all_data = _with_markers(cell_table)
+    names, res = spatial_enrichment.calculate_channel_spatial_enrichment(
+        "fov0", all_data, dm, marker_titles=["m_a", "m_b"],
+        thresh_vec=[0.5, 0.5], dist_lim=15, bootstrap_num=100, seed=42)
+    i, j = names.index("m_a"), names.index("m_b")
+    assert res["z"][i, j] > 3
+    assert res["p_pos"][i, j] < 0.05

@@ -112,3 +112,45 @@ def test_filter_csvs_by_mask(tmp_path):
     ez_seg_utils.filter_csvs_by_mask(str(tmp_path), "table")
     out = pd.read_csv(tmp_path / "filtered_plaque_size_normalized.csv")
     assert (out["mask_type"] == "plaque").all()
+
+
+def test_ez_seg_display(rng, tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from ark_tpu.segmentation.ez_seg import ez_seg_display
+
+    fov = "fov0"
+    img_dir = tmp_path / "imgs"
+    (img_dir / fov).mkdir(parents=True)
+    save_image(str(img_dir / fov / "chan.tiff"),
+               (rng.random((32, 32)) * 255).astype(np.float32))
+
+    obj_dir = tmp_path / "objs"
+    cell_dir = tmp_path / "cells"
+    merged_dir = tmp_path / "merged"
+    for d in (obj_dir, cell_dir, merged_dir):
+        d.mkdir()
+    obj = np.zeros((32, 32), np.int32)
+    obj[4:12, 4:12] = 1
+    cell = np.zeros((32, 32), np.int32)
+    cell[18:26, 18:26] = 1
+    merged = obj + 2 * cell
+    save_image(str(obj_dir / f"{fov}_plaque.tiff"), obj)
+    save_image(str(cell_dir / f"{fov}_whole_cell.tiff"), cell)
+    save_image(str(merged_dir / f"{fov}_plaque_merged.tiff"), merged)
+
+    ez_seg_display.display_channel_image(str(img_dir), None, fov, "chan")
+    ez_seg_display.overlay_mask_outlines(
+        fov, "chan", str(img_dir), None, "plaque", str(obj_dir))
+    visual = ez_seg_display.create_overlap_and_merge_visual(
+        fov, "plaque", str(obj_dir), str(cell_dir), "whole_cell",
+        str(merged_dir))
+    assert visual.shape == (32, 32, 3)
+    assert (visual[6, 6] == (225, 0, 0)).all()     # object interior red
+    assert (visual[22, 22, 2] == 255)              # cell interior blue
+    assert (visual[..., 1] == 255).any()           # merged edges green
+    ez_seg_display.multiple_mask_display(
+        fov, "plaque", str(obj_dir), str(cell_dir), "whole_cell",
+        str(merged_dir))
+    plt.close("all")

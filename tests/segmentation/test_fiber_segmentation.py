@@ -94,3 +94,18 @@ def test_segment_fibers_end_to_end(rng, tmp_path):
     assert len(fov_stats) == 2
     assert {"pixel_density", "fiber_density"}.issubset(fov_stats.columns)
     assert len(tile_stats) == 2 * 4  # 128/64 = 2x2 tiles per fov
+
+
+def test_plot_fiber_segmentation_steps(rng, tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fdir = tmp_path / "imgs" / "fov0"
+    fdir.mkdir(parents=True)
+    save_image(str(fdir / "Collagen1.tiff"), _fiber_image(rng))
+    fiber_segmentation.plot_fiber_segmentation_steps(
+        str(tmp_path / "imgs"), "fov0", "Collagen1",
+        contrast_scaling_divisor=16)
+    assert len(plt.get_fignums()) >= 1
+    plt.close("all")
