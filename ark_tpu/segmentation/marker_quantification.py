@@ -139,6 +139,84 @@ def _compartment_features(labels: np.ndarray, images, cell_ids: np.ndarray,
     return out
 
 
+def get_single_compartment_props(segmentation_labels, regionprops_base=None,
+                                 regionprops_single_comp=None, **kwargs):
+    """Regionprops table (base + derived) for one compartment's label image
+    (reference `marker_quantification.py:18-74`), as a cells × props
+    DataFrame. Unlike the reference's per-cell skimage loop, every property
+    is computed for all cells at once via segment reductions on device."""
+    import pandas as pd
+
+    regionprops_base = copy.deepcopy(
+        settings.REGIONPROPS_BASE) if regionprops_base is None \
+        else copy.deepcopy(regionprops_base)
+    regionprops_single_comp = copy.deepcopy(
+        settings.REGIONPROPS_SINGLE_COMP) if regionprops_single_comp is None \
+        else copy.deepcopy(regionprops_single_comp)
+    if regionprops_single_comp:
+        verify_in_list(extras_props=regionprops_single_comp,
+                       props_options=list(REGIONPROPS_FUNCTION.keys()))
+
+    names = [r for r in regionprops_base if r != "coords"]
+    if "centroid" in names:
+        names.remove("centroid")
+        names += ["centroid-0", "centroid-1"]
+    names.extend(regionprops_single_comp)
+
+    labels = np.asarray(segmentation_labels).astype(np.int32)
+    cell_ids = np.unique(labels)
+    cell_ids = cell_ids[cell_ids != 0]
+    dummy = np.zeros(labels.shape + (1,), np.float32)
+    feats = _compartment_features(
+        labels, dummy, cell_ids, names, regionprops_single_comp,
+        "total_intensity", {}, kwargs.get("regionprops_kwargs", {}))
+    # drop the leading [cell_size, dummy_channel] schema columns
+    return pd.DataFrame(feats[:, 2:], columns=names)
+
+
+def assign_single_compartment_features(marker_counts, compartment,
+                                       segmentation_labels, input_images,
+                                       regionprops_names,
+                                       regionprops_single_comp,
+                                       extraction="total_intensity",
+                                       cell_ids=None, **kwargs) -> DataArray:
+    """Fill one compartment's plane of a marker_counts DataArray with signal
+    + regionprops features (capability of reference
+    `marker_quantification.py:77-136`). The reference assigns one cell per
+    call inside a hot loop; the TPU redesign assigns ALL cells of the
+    compartment in a single vectorized call, so `cell_ids` is optional (all
+    labels by default) and per-cell args (cell_coords/label_id) don't exist.
+    """
+    labels = np.asarray(segmentation_labels).astype(np.int32)
+    if cell_ids is None:
+        cell_ids = np.unique(labels)
+        cell_ids = cell_ids[cell_ids != 0]
+    feats = _compartment_features(
+        labels, np.asarray(input_images), cell_ids,
+        list(regionprops_names), list(regionprops_single_comp), extraction,
+        kwargs.get("signal_kwargs", {}), kwargs.get("regionprops_kwargs", {}))
+    compartments = list(marker_counts.coords["compartments"])
+    rows_of = {int(c): i for i, c in
+               enumerate(np.asarray(marker_counts.coords["cell_id"]))}
+    rows = np.array([rows_of[int(c)] for c in cell_ids])
+    marker_counts.values[compartments.index(compartment),
+                         rows, :feats.shape[1]] = feats
+    return marker_counts
+
+
+def assign_multi_compartment_features(marker_counts, regionprops_multi_comp,
+                                      **kwargs) -> DataArray:
+    """Apply multi-compartment derived features (e.g. nc_ratio) to a
+    marker_counts DataArray (reference `marker_quantification.py:139-182`)."""
+    if not regionprops_multi_comp:
+        return marker_counts
+    verify_in_list(regionprops_multi_comp=list(regionprops_multi_comp),
+                   props_options=list(REGIONPROPS_FUNCTION.keys()))
+    for name in regionprops_multi_comp:
+        marker_counts = REGIONPROPS_FUNCTION[name](marker_counts, **kwargs)
+    return marker_counts
+
+
 def compute_marker_counts(input_images, segmentation_labels,
                           nuclear_counts=False,
                           regionprops_base=None, regionprops_single_comp=None,

@@ -16,7 +16,7 @@ import itertools
 import os
 import pathlib
 import re
-from typing import Dict, List, Optional, Union
+from typing import Dict, List, Optional, TypedDict, Union
 
 import numpy as np
 import pandas as pd
@@ -485,6 +485,21 @@ class ConvertToAnnData:
             _write_h5ad(path, X, obs, self.var_names, obsm)
             result[str(fov_id)] = path.as_posix()
         return result
+
+
+class AnnCollectionKwargs(TypedDict, total=False):
+    """Keyword options accepted by `load_anndatas` (API parity with the
+    reference's anndata.AnnCollection kwargs, `data_utils.py:1007-1016`).
+    The h5ad-backed loader joins on obs by construction, so these are
+    accepted and recorded but do not change behavior."""
+    join_obs: Optional[str]
+    join_obsm: Optional[str]
+    join_vars: Optional[str]
+    label: Optional[str]
+    keys: Optional[List[str]]
+    index_unique: Optional[str]
+    harmonize_dtypes: bool
+    indices_strict: bool
 
 
 def load_anndatas(anndata_dir, **kwargs) -> Dict[str, AnnDataLite]:

@@ -46,6 +46,102 @@ def generate_deepcell_input(data_dir, tiff_dir, nuc_channels, mem_channels,
         save_image(os.path.join(data_dir, f"{fov_name}.tiff"), out)
 
 
+def zip_input_files(deepcell_input_dir, fov_group, batch_num):
+    """Zip one batch of `<fov>.tiff` inputs into `fovs_batch_<n>.zip`
+    (reference :17-40 contract; skip-if-exists). Kept for drop-in parity —
+    the in-process TPU path doesn't need zips, but external batch services
+    and archival workflows do."""
+    from zipfile import ZIP_DEFLATED, ZipFile
+
+    zip_path = os.path.join(deepcell_input_dir, f"fovs_batch_{batch_num}.zip")
+    if not os.path.exists(zip_path):
+        with ZipFile(zip_path, "w", compression=ZIP_DEFLATED) as zf:
+            for fov in fov_group:
+                basename = fov + ".tiff"
+                zf.write(os.path.join(deepcell_input_dir, basename), basename)
+    return zip_path
+
+
+def run_deepcell_direct(input_dir, output_dir, host=None, job_type="mesmer",
+                        scale=1.0, timeout=300,
+                        weights_path: Optional[str] = None):
+    """In-process stand-in for the reference's REST loop (:214-343): read a
+    `fovs_batch_<n>.zip` of 2-channel inputs, run the local Mesmer model, and
+    write `deepcell_response_fovs_batch_<n>.zip` of `<fov>_feature_0.tif` /
+    `<fov>_feature_1.tif` masks to `output_dir` (the exact artifact the
+    remote service returns). `host`/`timeout` are accepted and ignored."""
+    import io as _io
+    from zipfile import ZIP_DEFLATED, ZipFile
+
+    from PIL import Image
+
+    from ark_tpu.segmentation.mesmer import Mesmer
+
+    batch_name = os.path.splitext(os.path.basename(input_dir))[0]
+    app = Mesmer(weights_path=weights_path)
+    out_zip = os.path.join(output_dir,
+                           f"deepcell_response_{batch_name}.zip")
+    with ZipFile(input_dir, "r") as zin:
+        names = [n for n in zin.namelist() if n.endswith((".tiff", ".tif"))]
+        imgs, fov_names = [], []
+        for name in names:
+            full = read_image_bytes(zin.read(name))
+            if full.ndim == 3 and full.shape[0] == 2:
+                full = np.moveaxis(full, 0, -1)
+            imgs.append(full.astype(np.float32) * float(scale))
+            fov_names.append(io_utils.remove_file_extensions([name])[0])
+    preds = app.predict(np.stack(imgs))
+    with ZipFile(out_zip, "w", compression=ZIP_DEFLATED) as zout:
+        for i, fov in enumerate(fov_names):
+            for feature, key in ((0, "whole_cell"), (1, "nuclear")):
+                buf = _io.BytesIO()
+                Image.fromarray(preds[key][i].astype(np.int32)).save(
+                    buf, format="TIFF")
+                zout.writestr(f"{fov}_feature_{feature}.tif", buf.getvalue())
+    return 0
+
+
+def extract_deepcell_response(deepcell_output_dir, fov_group, batch_num,
+                              wc_suffix, nuc_suffix):
+    """Unzip `deepcell_response_fovs_batch_<n>.zip` masks, renaming
+    `_feature_0`→wc_suffix and `_feature_1`→nuc_suffix and appending the
+    extra `f` to `.tif` (reference :43-92 contract)."""
+    import io as _io
+    import warnings
+    from zipfile import ZipFile
+
+    batch_zip = os.path.join(
+        deepcell_output_dir, f"deepcell_response_fovs_batch_{batch_num}.zip")
+    with ZipFile(batch_zip, "r") as zf:
+        names = zf.namelist()
+        for name in names:
+            if "_feature_0.tif" in name:
+                renamed = name.replace("_feature_0", wc_suffix)
+            else:
+                renamed = name.replace("_feature_1", nuc_suffix)
+            mask = read_image_bytes(zf.read(name)).squeeze()
+            save_image(os.path.join(deepcell_output_dir, renamed + "f"),
+                       mask.astype(np.int32))
+    for fov in fov_group:
+        if fov + "_feature_0.tif" not in names:
+            warnings.warn(
+                f"Deep Cell whole cell output file was not found for {fov}.")
+        if fov + "_feature_1.tif" not in names:
+            warnings.warn(
+                f"Deep Cell nuclear output file was not found for {fov}.")
+
+
+def read_image_bytes(data: bytes) -> np.ndarray:
+    """Decode an in-memory TIFF (all pages) to an ndarray."""
+    import io as _io
+
+    from PIL import Image, ImageSequence
+
+    img = Image.open(_io.BytesIO(data))
+    frames = [np.asarray(f) for f in ImageSequence.Iterator(img)]
+    return frames[0] if len(frames) == 1 else np.stack(frames)
+
+
 def create_deepcell_output(deepcell_input_dir, deepcell_output_dir, fovs=None,
                            wc_suffix="_whole_cell", nuc_suffix="_nuclear",
                            host=None, job_type="mesmer", scale=1.0,

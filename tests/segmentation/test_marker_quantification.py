@@ -162,3 +162,44 @@ def test_split_large_nuclei(rng):
     out_cell_ids = np.unique(out[(cells == 0) & (out > 0)])
     assert len(in_cell_ids) == 1 and len(out_cell_ids) == 1
     assert in_cell_ids[0] != out_cell_ids[0]
+
+
+def test_get_single_compartment_props(rng):
+    labels, imgs, input_images, seg = _fov_arrays(rng)
+    props = marker_quantification.get_single_compartment_props(labels)
+    n_cells = len(np.unique(labels)) - 1
+    assert len(props) == n_cells
+    assert "centroid-0" in props.columns and "area" in props.columns
+    for name in settings.REGIONPROPS_SINGLE_COMP:
+        assert name in props.columns
+    # areas match the label image
+    ids = np.unique(labels)
+    ids = ids[ids != 0]
+    for i, cid in enumerate(ids[:5]):
+        assert props["area"].iloc[i] == (labels == cid).sum()
+    with pytest.raises(ValueError):
+        marker_quantification.get_single_compartment_props(
+            labels, regionprops_single_comp=["not_a_prop"])
+
+
+def test_assign_compartment_features_matches_compute(rng):
+    """The public assign_* wrappers reproduce compute_marker_counts' planes."""
+    labels, imgs, input_images, seg = _fov_arrays(rng)
+    mc_ref = marker_quantification.compute_marker_counts(input_images, seg)
+    feats = list(mc_ref.coords["features"])
+    regionprops_names = feats[feats.index(settings.CELL_LABEL):]
+
+    mc = DataArray(np.zeros(mc_ref.values.shape),
+                   coords={"compartments": ["whole_cell"],
+                           "cell_id": list(mc_ref.coords["cell_id"]),
+                           "features": feats})
+    mc = marker_quantification.assign_single_compartment_features(
+        mc, "whole_cell", labels, imgs, regionprops_names,
+        settings.REGIONPROPS_SINGLE_COMP)
+    np.testing.assert_allclose(mc.values, mc_ref.values, rtol=1e-5)
+    # multi-comp no-op and validation paths
+    out = marker_quantification.assign_multi_compartment_features(mc, [])
+    assert out is mc
+    with pytest.raises(ValueError):
+        marker_quantification.assign_multi_compartment_features(
+            mc, ["not_a_prop"])

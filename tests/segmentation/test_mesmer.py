@@ -3,7 +3,7 @@ import os
 import numpy as np
 import pytest
 
-from ark_tpu.io.image_utils import read_image
+from ark_tpu.io.image_utils import read_image, save_image
 from ark_tpu.ops import watershed as ws
 from ark_tpu.segmentation import mesmer
 from ark_tpu.utils import deepcell_service_utils
@@ -80,3 +80,34 @@ def test_deepcell_io_parity(rng, tmp_path):
     # resume: all outputs exist -> skip
     deepcell_service_utils.create_deepcell_output(
         str(input_dir), str(output_dir), fovs=fovs)
+
+
+def test_deepcell_zip_roundtrip(rng, tmp_path):
+    """zip_input_files -> run_deepcell_direct -> extract_deepcell_response
+    reproduces the reference's zip-based service artifact chain in-process."""
+    in_dir = tmp_path / "dc_in"
+    out_dir = tmp_path / "dc_out"
+    in_dir.mkdir()
+    out_dir.mkdir()
+    fovs = ["fovA", "fovB"]
+    for fov in fovs:
+        img = (rng.random((2, 64, 64)) * 100).astype(np.float32)
+        save_image(str(in_dir / f"{fov}.tiff"), img)
+
+    zip_path = deepcell_service_utils.zip_input_files(str(in_dir), fovs, 1)
+    assert zip_path.endswith("fovs_batch_1.zip")
+    # second call is a no-op (skip-if-exists)
+    assert deepcell_service_utils.zip_input_files(str(in_dir), fovs, 1) \
+        == zip_path
+
+    assert deepcell_service_utils.run_deepcell_direct(
+        zip_path, str(out_dir)) == 0
+    assert (out_dir / "deepcell_response_fovs_batch_1.zip").exists()
+
+    deepcell_service_utils.extract_deepcell_response(
+        str(out_dir), fovs, 1, "_whole_cell", "_nuclear")
+    for fov in fovs:
+        wc = read_image(str(out_dir / f"{fov}_whole_cell.tiff"))
+        nuc = read_image(str(out_dir / f"{fov}_nuclear.tiff"))
+        assert wc.shape == (64, 64)
+        assert nuc.shape == (64, 64)
