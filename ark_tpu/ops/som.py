@@ -98,8 +98,9 @@ def _bmu_packed_kernel(x_ref, wb_ref, w2_ref, idx_ref, dist_ref):
     is block-shifted — pixel slot p's channels hit Wᵀ in columns
     [p·128, p·128+K) — so one (BN,128)x(128,P·128) MXU matmul yields every
     pixel's node products; the 8x MXU redundancy is free because the kernel is
-    HBM-bound. Measured ~2.5 Gpix/s on v5e (~180 GB/s, at the chip's measured
-    copy roofline) for C=16, K=100.
+    HBM-bound. Measured ~1.5 ms per 4.19M pixels (C=16, K=100) on v5e once
+    the attach's ~30 ms fixed dispatch latency is amortized — ~2.6 Gpix/s,
+    at the chip's ~177 GB/s measured copy roofline.
 
     x_ref:  (BN, 128)     P pixels per row
     wb_ref: (128, P*128)  shifted weight bank
@@ -107,8 +108,8 @@ def _bmu_packed_kernel(x_ref, wb_ref, w2_ref, idx_ref, dist_ref):
     idx_ref, dist_ref: (BN, P) outputs
 
     The per-slot reductions use static lane slices — a (BN, P, 128) reshape +
-    axis-2 argmin forces Mosaic relayouts that cost ~10x (75 vs 756 Mpix/s
-    measured on v5e with data-dependent rep loops).
+    axis-2 argmin forces Mosaic relayouts that cost ~10x on v5e (measured
+    with data-dependent rep loops).
     """
     p = idx_ref.shape[1]
     xw = jnp.dot(x_ref[:], wb_ref[:], preferred_element_type=jnp.float32)
@@ -191,7 +192,7 @@ def _prepare_bmu_operands(weights: jax.Array, c: int):
     return wbig, w2_p, cpad, pack
 
 
-def bmu_pallas(weights: jax.Array, data: jax.Array, block_n: int = 1024,
+def bmu_pallas(weights: jax.Array, data: jax.Array, block_n: int = 2048,
                return_dist: bool = True) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Fused Pallas BMU search (see `_bmu_packed_kernel`). Handles arbitrary
     N/C by padding channels to the packed width and rows to the block size;
@@ -200,6 +201,11 @@ def bmu_pallas(weights: jax.Array, data: jax.Array, block_n: int = 1024,
     `return_dist=False` skips the ||x||² pass (a second full read of the
     data) — use it whenever only cluster assignments are needed (the
     reference's pipelines use only `map_data_to_nodes(...)[0]` as well).
+
+    The kernel's VMEM footprint is dominated by the (block_n, pack*128) f32
+    distance intermediate, so the block is capped at block_n*pack ≤ 16384
+    rows (idx-only) / 8192 (with dist: the two-output variant needs ~2x
+    scoped VMEM; 2048*8 exceeds v5e's 16M scoped-vmem limit by ~1M).
     """
     n, c = data.shape
     k = weights.shape[0]
@@ -209,6 +215,8 @@ def bmu_pallas(weights: jax.Array, data: jax.Array, block_n: int = 1024,
         return (idx, dist) if return_dist else (idx, None)
 
     wbig, w2_p, cpad, pack = _prepare_bmu_operands(weights, c)
+    max_rows = 8192 if return_dist else 16384
+    block_n = max(min(block_n, max_rows // pack), 8)
     rows_per_block = block_n * pack
     n_p = _round_up(max(n, 1), rows_per_block)
     data = data.astype(jnp.float32)

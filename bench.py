@@ -7,6 +7,17 @@ single hottest kernel (pyFlowSOM C `map_data_to_nodes` over 1M-row chunks,
 vs_baseline = speedup over a multithreaded-BLAS numpy implementation of the
 same BMU search measured on this host's CPU (a *stronger* baseline than the
 reference's single-threaded C chunk loop).
+
+Measurement protocol (see PERF.md for the full story):
+- All reps run inside ONE jitted lax.scan with a single readback, because
+  this attach has ~30 ms of fixed dispatch+readback latency per execution —
+  REPS must be large enough to amortize it (kernel time is ~1.5 ms/rep).
+- Each rep rescales the (K, C) WEIGHTS by a value derived from the previous
+  rep's output, so XLA cannot hoist the kernel out of the loop and the
+  remote relay cannot replay a cached execution, while the 256 MB pixel
+  block stays device-resident and untouched (scaling the data instead would
+  add a full read+write pass per rep and cap the measurement at ~1 Gpix/s).
+- best-of-3 trials: the first post-compile execution is often 3-6x slower.
 """
 
 import json
@@ -16,7 +27,7 @@ import time
 import numpy as np
 
 
-def _bench_tpu(n, c, k, reps=10):
+def _bench_tpu(n, c, k, reps=200):
     import jax
     import jax.numpy as jnp
     from ark_tpu.ops import som
@@ -27,33 +38,28 @@ def _bench_tpu(n, c, k, reps=10):
 
     use_pallas = jax.default_backend() == "tpu"
 
-    def one(d):
+    def one(wt, d):
         if use_pallas:
-            idx, _ = som.bmu_pallas(w, d, return_dist=False)
+            idx, _ = som.bmu_pallas(wt, d, return_dist=False)
         else:
-            idx, _ = som.bmu_xla(w, d)
+            idx, _ = som.bmu_xla(wt, d)
         return idx
 
-    # each rep's input depends on the previous output so XLA cannot hoist the
-    # kernel out of the loop (and the remote relay cannot replay a cached
-    # execution) — the measured time includes one extra elementwise pass over
-    # the data per rep, so this modestly UNDERSTATES kernel throughput
     @jax.jit
-    def loop(d):
+    def loop(d, w0):
         def body(carry, _):
-            idx = one(d * (1.0 + carry))
+            idx = one(w0 * (1.0 + carry), d)
             s = jnp.sum(idx)
             return (s % 7).astype(jnp.float32) * 1e-12, s
         _, out = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
         return out
 
-    out = loop(data)
+    out = loop(data, w)
     np.asarray(out)  # warmup + force completion
     best = float("inf")
-    for trial in range(3):  # best-of-3: the first post-compile execution on
-        # this attach is often 3-6x slower than steady state
+    for trial in range(3):
         t0 = time.perf_counter()
-        out = loop(data * (1.0001 + 1e-4 * trial))
+        out = loop(data, w * (1.0001 + 1e-4 * trial))
         np.asarray(out)
         best = min(best, (time.perf_counter() - t0) / reps)
     return n / best / 1e6  # Mpix/s
