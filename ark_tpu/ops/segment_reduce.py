@@ -70,10 +70,11 @@ def centroids(labels: jax.Array, num_segments: int) -> jax.Array:
     rr = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
     cc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
     seg = _flat(labels)
-    m00 = jax.ops.segment_sum(jnp.ones_like(rr), seg, num_segments=num_segments)
-    m10 = jax.ops.segment_sum(rr, seg, num_segments=num_segments)
-    m01 = jax.ops.segment_sum(cc, seg, num_segments=num_segments)
-    return jnp.stack([m10, m01], axis=1) / m00[:, None]
+    # one fused (N, 3) scatter (see moment_features: scatter cost is per-pass)
+    sums = jax.ops.segment_sum(
+        jnp.stack([jnp.ones_like(rr), rr, cc], axis=1), seg,
+        num_segments=num_segments)
+    return sums[:, 1:] / sums[:, :1]
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments",))
@@ -99,32 +100,36 @@ def center_weighted_sums(images: jax.Array, labels: jax.Array,
     return jax.ops.segment_sum(vals, seg, num_segments=num_segments)
 
 
+def _perimeter_contributions(labels: jax.Array) -> jax.Array:
+    """Per-pixel Cauchy–Crofton boundary contribution, (H, W) f32.
+
+    Each label-boundary crossing along rows/columns/diagonals is credited to
+    both endpoint labels; attributing every pixel's 8 neighbor mismatches to
+    the pixel's OWN label is the same total per label, but turns the
+    reduction into ONE scatter keyed by the label image instead of 8 scatters
+    keyed by shifted copies (a ~6x win on TPU, where scatter cost is
+    per-pass, not per-element). Image border counts as background.
+    """
+    labels = labels.astype(jnp.int32)
+    h, w = labels.shape
+    lab = jnp.pad(labels, 1, constant_values=0)
+
+    def neq(dy, dx):
+        return (labels != lab[1 + dy:h + 1 + dy,
+                              1 + dx:w + 1 + dx]).astype(jnp.float32)
+
+    straight = neq(0, 1) + neq(0, -1) + neq(1, 0) + neq(-1, 0)
+    diag = neq(1, 1) + neq(1, -1) + neq(-1, 1) + neq(-1, -1)
+    return (jnp.pi / 8.0) * (straight + diag / _SQRT2)
+
+
 @functools.partial(jax.jit, static_argnames=("num_segments",))
 def crofton_perimeter(labels: jax.Array, num_segments: int) -> jax.Array:
-    """Per-label perimeter by the 4-direction Cauchy–Crofton estimator.
-
-    Counts label-boundary crossings along rows, columns, and both diagonals
-    (image border counts as background); P = (π/8)(n_h + n_v + (n_d1+n_d2)/√2).
-    """
-    lab = jnp.pad(labels.astype(jnp.int32), 1, constant_values=0)
-
-    def crossings(a, b):
-        """Add each a!=b crossing to both participating labels."""
-        diff = (a != b)
-        n = jnp.zeros((num_segments,), jnp.float32)
-        n = n + jax.ops.segment_sum(
-            diff.reshape(-1).astype(jnp.float32), a.reshape(-1),
-            num_segments=num_segments)
-        n = n + jax.ops.segment_sum(
-            diff.reshape(-1).astype(jnp.float32), b.reshape(-1),
-            num_segments=num_segments)
-        return n
-
-    n_h = crossings(lab[:, :-1], lab[:, 1:])
-    n_v = crossings(lab[:-1, :], lab[1:, :])
-    n_d1 = crossings(lab[:-1, :-1], lab[1:, 1:])
-    n_d2 = crossings(lab[:-1, 1:], lab[1:, :-1])
-    per = (jnp.pi / 8.0) * (n_h + n_v + (n_d1 + n_d2) / _SQRT2)
+    """Per-label perimeter by the 4-direction Cauchy–Crofton estimator:
+    P = (π/8)(n_h + n_v + (n_d1+n_d2)/√2) over boundary crossings, as a
+    single scatter of per-pixel contributions."""
+    per = jax.ops.segment_sum(_perimeter_contributions(labels).reshape(-1),
+                              _flat(labels), num_segments=num_segments)
     return per.at[0].set(0.0)
 
 
@@ -132,11 +137,15 @@ def crofton_perimeter(labels: jax.Array, num_segments: int) -> jax.Array:
 def euler_numbers(labels: jax.Array, num_segments: int) -> jax.Array:
     """Per-label Euler number (objects − holes), 8-connectivity, via Gray
     bit-quad counts: E = (Q1 − Q3 − 2·Qd) / 4 computed per label."""
+    h, w = labels.shape
     lab = jnp.pad(labels.astype(jnp.int32), 1, constant_values=0)
     a, b = lab[:-1, :-1], lab[:-1, 1:]
     c, d = lab[1:, :-1], lab[1:, 1:]
-    out = jnp.zeros((num_segments,), jnp.float32)
     quads = [a, b, c, d]
+    # route every quad slot's contribution through ONE per-pixel value image
+    # (indexed by the pixel's own label) so the reduction is a single scatter
+    # instead of 4 scatters keyed by shifted label copies.
+    val = jnp.zeros((h, w), jnp.float32)
     for slot in range(4):
         cand = quads[slot]
         # count candidate once per quad: only from its first occurrence slot
@@ -152,9 +161,13 @@ def euler_numbers(labels: jax.Array, num_segments: int) -> jax.Array:
         q3 = (n_in == 3).astype(jnp.float32)
         qd = diag.astype(jnp.float32)
         contrib = jnp.where(first, (q1 - q3 - 2.0 * qd) / 4.0, 0.0)
-        out = out + jax.ops.segment_sum(contrib.reshape(-1),
-                                        cand.reshape(-1),
-                                        num_segments=num_segments)
+        # pixel (y, x) — padded coords (y+1, x+1) — is slot a of quad
+        # (y+1, x+1), b of (y+1, x), c of (y, x+1), d of (y, x)
+        oy, ox = {0: (1, 1), 1: (1, 0), 2: (0, 1), 3: (0, 0)}[slot]
+        padc = jnp.pad(contrib, ((0, 1), (0, 1)))
+        val = val + jax.lax.dynamic_slice(padc, (oy, ox), (h, w))
+    out = jax.ops.segment_sum(val.reshape(-1), _flat(labels),
+                              num_segments=num_segments)
     return out.at[0].set(0.0)
 
 
@@ -172,12 +185,17 @@ def moment_features(labels: jax.Array, num_segments: int) -> dict:
     cc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
     ones = jnp.ones_like(rr)
 
-    def ssum(v):
-        return jax.ops.segment_sum(v, seg, num_segments=num_segments)
-
-    m00 = ssum(ones)
-    m10, m01 = ssum(rr), ssum(cc)
-    m20, m02, m11 = ssum(rr * rr), ssum(cc * cc), ssum(rr * cc)
+    # ONE fused (N, 7) scatter for all raw moments + the perimeter: scatter
+    # cost on TPU is per-pass, not per-element — 7 separate segment_sums over
+    # the same index array measure ~10x slower than this (99 -> 10 ms for a
+    # 1024^2 FOV with 5k cells on v5e).
+    feats = jnp.stack(
+        [ones, rr, cc, rr * rr, cc * cc, rr * cc,
+         _perimeter_contributions(labels).reshape(-1)], axis=1)
+    sums = jax.ops.segment_sum(feats, seg, num_segments=num_segments)
+    m00, m10, m01 = sums[:, 0], sums[:, 1], sums[:, 2]
+    m20, m02, m11 = sums[:, 3], sums[:, 4], sums[:, 5]
+    perimeter = sums[:, 6].at[0].set(0.0)
     safe = jnp.maximum(m00, 1.0)
     cy, cx = m10 / safe, m01 / safe
     mu20 = m20 / safe - cy * cy
@@ -203,5 +221,5 @@ def moment_features(labels: jax.Array, num_segments: int) -> dict:
         "eccentricity": ecc,
         "equivalent_diameter": eq_diam,
         "orientation": orientation,
-        "perimeter": crofton_perimeter(labels, num_segments),
+        "perimeter": perimeter,
     }
