@@ -50,12 +50,19 @@ def _compartment_features(labels: np.ndarray, images, cell_ids: np.ndarray,
     n_seg = int(labels.max()) + 1 if labels.size else 1
     lab_j = jnp.asarray(labels)
 
-    feats = {k: np.asarray(v)
-             for k, v in segment_reduce.moment_features(lab_j, n_seg).items()}
+    if extraction == "total_intensity" and not sig_kwargs:
+        # default path: morphology + channel sums in ONE fused scatter
+        feats_j, counts_j = segment_reduce.moment_and_channel_features(
+            jnp.asarray(np.asarray(images), jnp.float32), lab_j, n_seg)
+        feats = {k: np.asarray(v) for k, v in feats_j.items()}
+        counts = np.asarray(counts_j)
+    else:
+        feats = {k: np.asarray(v) for k, v in
+                 segment_reduce.moment_features(lab_j, n_seg).items()}
+        counts = np.asarray(EXTRACTION_FUNCTION_BATCH[extraction](
+            jnp.asarray(np.asarray(images), jnp.float32), lab_j, n_seg,
+            **sig_kwargs))
     sizes = feats["area"]
-    counts = np.asarray(EXTRACTION_FUNCTION_BATCH[extraction](
-        jnp.asarray(np.asarray(images), jnp.float32), lab_j, n_seg,
-        **sig_kwargs))
 
     need_convex = bool(
         ({"convex_area"} & set(regionprops_names))

@@ -131,6 +131,7 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42):
     # ---- stage 4: cell SOM over quantified features (cells x channels)
     cell_feats = np.concatenate([np.asarray(q[0])[1:] for q in quants])
     cw = som_ops.som_train(cell_feats * 0.99, seed=seed)  # warm compile bucket
+    som_ops.som_map(cw, cell_feats * 0.99, return_dist=False)  # warm map shape
     with timer.stage("cell_som", items=len(cell_feats), unit="cells"):
         cell_w = som_ops.som_train(cell_feats, seed=seed)
         cell_clusters, _ = som_ops.som_map(cell_w, cell_feats,
