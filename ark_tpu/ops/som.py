@@ -320,7 +320,13 @@ def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
     """Train a SOM, TPU batch-parallel (defaults mirror `cluster_helpers.py:
     54-56` / `pixel_som_clustering.py:19-21`: 10×10 grid, 1 pass, lr .05→.01,
     seed 42). Returns (xdim*ydim, C) float32 weights."""
-    data = np.asarray(data, np.float32)
+    # device-resident inputs stay on device (only index math runs on host);
+    # host inputs pay exactly one transfer
+    on_device = isinstance(data, jax.Array)
+    if on_device:
+        data = data.astype(jnp.float32)
+    else:
+        data = np.asarray(data, np.float32)
     n, c = data.shape
     if n == 0:
         raise ValueError("cannot train SOM on empty data")
@@ -332,7 +338,11 @@ def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
     if weights_init is None:
         # FlowSOM initializes codes from a random sample of observations
         init_rows = host_rng.choice(n, size=k, replace=n < k)
-        w0 = jnp.asarray(data[init_rows])
+        if on_device:
+            w0 = jnp.take(data, jnp.asarray(init_rows.astype(np.int32)),
+                          axis=0)
+        else:
+            w0 = jnp.asarray(data[init_rows])
     else:
         w0 = jnp.asarray(weights_init, jnp.float32)
 
@@ -349,7 +359,10 @@ def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
     reps = (order_len + n - 1) // n
     order = jnp.asarray(np.tile(perm, reps)[:order_len].astype(np.int32))
     data_pad = _next_pow2(n)
-    data_padded = jnp.asarray(np.pad(data, ((0, data_pad - n), (0, 0))))
+    if on_device:
+        data_padded = jnp.pad(data, ((0, data_pad - n), (0, 0)))
+    else:
+        data_padded = jnp.asarray(np.pad(data, ((0, data_pad - n), (0, 0))))
 
     r0 = radius_start if radius_start is not None else default_radius_start(xdim, ydim)
     gdist = jnp.asarray(grid_distances(xdim, ydim))

@@ -76,10 +76,12 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42):
 
     # ---- stage 1: SOM training on a 10% cohort subsample
     n_sub = int(0.1 * n_pix)
+    # device-resident subset, as produced by the on-device pixel subsampler
+    # (som_train keeps jax.Array inputs on device — no host round trip)
     sub = jax.random.uniform(jax.random.PRNGKey(1), (n_sub, channels))
-    weights = som_ops.som_train(np.asarray(sub) * 0.99, seed=seed)  # warm
+    weights = som_ops.som_train(sub * 0.99, seed=seed)  # warm
     with timer.stage("som_train", items=n_sub, unit="pixels"):
-        weights = som_ops.som_train(np.asarray(sub), seed=seed)
+        weights = som_ops.som_train(sub, seed=seed)
 
     post_norms = jnp.asarray(rng.random(channels).astype(np.float32) + 0.5)
     wj = jnp.asarray(weights, jnp.float32)
