@@ -96,7 +96,11 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42):
         valid = (rowsums > 0.05) & jnp.any(mat != 0, axis=1)
         nm = mat / jnp.where(rowsums == 0, 1.0, rowsums)[:, None]
         nm = nm / post_norms
-        idx, _ = som_ops.bmu_pallas(wj, nm, return_dist=False)
+        # inside a fused pipeline the XLA BMU composes (the pallas custom
+        # call is a fusion barrier that forces extra materializations of the
+        # (N, C) intermediate: 52 ms vs 7 ms for this whole pipeline);
+        # bmu_pallas is for standalone mapping of flat tables (som_map)
+        idx, _ = som_ops.bmu_xla(wj, nm)
         return jnp.where(valid, idx + 1, 0).astype(jnp.int32)
 
     @jax.jit
