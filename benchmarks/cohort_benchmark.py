@@ -117,8 +117,10 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42):
     # ---- stage 3: marker quantification
     @jax.jit
     def quant_fov(img, lab):
-        sums = segment_reduce.channel_sums(img, lab, cells_per_fov)
-        feats = segment_reduce.moment_features(lab, cells_per_fov)
+        # morphology + channel sums in one fused scatter (the production
+        # compute_marker_counts default path)
+        feats, sums = segment_reduce.moment_and_channel_features(
+            img, lab, cells_per_fov)
         return sums, feats["area"], feats["centroid-0"], feats["centroid-1"]
 
     @jax.jit
