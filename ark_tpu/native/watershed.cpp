@@ -10,24 +10,20 @@
 //   floods ascending `image` values from the labeled `markers`, restricted to
 //   `mask` (mask==0 pixels stay 0). 4-connected.
 
+#include <cmath>
 #include <cstdint>
-#include <queue>
 #include <vector>
 
 namespace {
 
-struct Node {
-    float value;
-    int64_t order;   // FIFO tiebreak for equal values (stable flooding)
-    int32_t idx;
-};
-
-struct NodeCmp {
-    bool operator()(const Node& a, const Node& b) const {
-        if (a.value != b.value) return a.value > b.value;  // min-heap on value
-        return a.order > b.order;
-    }
-};
+// Quantized bucket queue: priorities are mapped to kBuckets levels over the
+// image's [min, max] range. Push/pop are O(1) (vs O(log n) for a binary
+// heap — the flood visits every pixel once, so the queue is the whole cost).
+// Within a bucket, pixels drain FIFO, which preserves the stable flooding
+// order the old heap implementation used as its tiebreak; across buckets the
+// cursor may step backwards when a neighbor's value is below the current
+// level, matching exact min-first ordering up to quantization.
+constexpr int kBuckets = 1 << 16;
 
 }  // namespace
 
@@ -36,28 +32,55 @@ extern "C" {
 void watershed(const float* image, const int32_t* markers,
                const uint8_t* mask, int32_t H, int32_t W, int32_t* out) {
     const int64_t n = static_cast<int64_t>(H) * W;
-    std::priority_queue<Node, std::vector<Node>, NodeCmp> heap;
     std::vector<uint8_t> visited(n, 0);
-    int64_t order = 0;
+
+    float vmin = 0.0f, vmax = 0.0f;
+    bool any = false;
+    for (int64_t i = 0; i < n; ++i) {
+        if (!mask[i]) continue;
+        const float v = image[i];
+        if (!any) { vmin = vmax = v; any = true; }
+        else if (v < vmin) vmin = v;
+        else if (v > vmax) vmax = v;
+    }
+    const float range = vmax - vmin;
+    const float scale = range > 0.0f ? (kBuckets - 1) / range : 0.0f;
+
+    std::vector<std::vector<int32_t>> buckets(kBuckets);
+    std::vector<size_t> heads(kBuckets, 0);   // FIFO drain index per bucket
+    int32_t cursor = kBuckets;
+
+    auto push = [&](int64_t i) {
+        int32_t b = static_cast<int32_t>((image[i] - vmin) * scale);
+        if (b < 0) b = 0;
+        if (b >= kBuckets) b = kBuckets - 1;
+        buckets[b].push_back(static_cast<int32_t>(i));
+        if (b < cursor) cursor = b;
+    };
 
     for (int64_t i = 0; i < n; ++i) {
         out[i] = 0;
         if (markers[i] > 0 && mask[i]) {
             out[i] = markers[i];
             visited[i] = 1;
-            heap.push({image[i], order++, static_cast<int32_t>(i)});
+            push(i);
         }
     }
 
     const int32_t drow[4] = {-1, 1, 0, 0};
     const int32_t dcol[4] = {0, 0, -1, 1};
 
-    while (!heap.empty()) {
-        Node node = heap.top();
-        heap.pop();
-        const int32_t r = node.idx / W;
-        const int32_t c = node.idx % W;
-        const int32_t label = out[node.idx];
+    while (cursor < kBuckets) {
+        if (heads[cursor] >= buckets[cursor].size()) {
+            buckets[cursor].clear();
+            heads[cursor] = 0;
+            ++cursor;
+            continue;
+        }
+        const int32_t idx = buckets[cursor][heads[cursor]++];
+        const int32_t r = idx / W;
+        const int32_t c = idx % W;
+        const int32_t label = out[idx];
         for (int k = 0; k < 4; ++k) {
             const int32_t rr = r + drow[k];
             const int32_t cc = c + dcol[k];
@@ -66,7 +89,7 @@ void watershed(const float* image, const int32_t* markers,
             if (visited[j] || !mask[j]) continue;
             visited[j] = 1;
             out[j] = label;
-            heap.push({image[j], order++, static_cast<int32_t>(j)});
+            push(j);   // may move the cursor backwards: exact min-first
         }
     }
 }
