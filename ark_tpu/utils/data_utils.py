@@ -16,7 +16,7 @@ import itertools
 import os
 import pathlib
 import re
-from typing import Dict, List, Optional, TypedDict, Union
+from typing import Dict, List, Optional, TypedDict
 
 import numpy as np
 import pandas as pd
