@@ -150,3 +150,40 @@ def test_planted_clusters_recovered(tmp_path):
         if frac > 0.1:
             seen.add(chan)
     assert len(seen) >= 3, f"expected >=3 planted profiles, got {seen}"
+
+
+def test_corrupted_feather_is_skipped(cohort, tmp_path):
+    """SURVEY §5 failure-recovery contract: a corrupted per-FOV feather is
+    caught and skipped with a return code, never crashing the stage."""
+    base, tiff_dir, seg_dir, _ = cohort
+    base_dir = str(base)
+    import shutil
+
+    # self-sufficient: these stages are disk-state resumable, so they are
+    # no-ops when the e2e test already ran in this session
+    pixie_preprocessing.create_pixel_matrix(
+        FOVS, list(CHANNELS), base_dir, tiff_dir, seg_dir,
+        img_sub_folder=None, seg_suffix="_whole_cell.tiff",
+        subset_proportion=0.5, seed=42)
+    pysom = pixel_som_clustering.train_pixel_som(
+        FOVS, list(CHANNELS), base_dir,
+        norm_vals_name="channel_norm_post_rownorm.feather", seed=42)
+
+    work = tmp_path / "corrupt"
+    work.mkdir()
+    data_dir = work / "pixel_mat_data"
+    shutil.copytree(os.path.join(base_dir, "pixel_mat_data"), data_dir)
+    # corrupt one FOV's feather
+    with open(data_dir / "fov1.feather", "wb") as f:
+        f.write(b"this is not a feather file")
+
+    # direct per-FOV assignment reports the corruption as a status code
+    fov, status = pixel_som_clustering.run_pixel_som_assignment(
+        str(data_dir), pysom, False, 1_000_000, "fov1")
+    assert (fov, status) == ("fov1", 1)
+    # a healthy FOV still succeeds into the temp dir
+    (data_dir.parent / "pixel_mat_data_temp").mkdir()
+    fov, status = pixel_som_clustering.run_pixel_som_assignment(
+        str(data_dir), pysom, False, 1_000_000, "fov0")
+    assert (fov, status) == ("fov0", 0)
+    assert (data_dir.parent / "pixel_mat_data_temp" / "fov0.feather").exists()
