@@ -217,15 +217,15 @@ def visualize_fov_stats(data, metric="cellular_density", dpi=None,
 def visualize_fov_graphs(cell_table, features, diff_mats, fovs, dpi=None,
                          save_dir=None):
     """Plot the adjacency graphs defining neighboring environments per FOV
-    (edges from the spatial-LDA difference matrices)."""
-    from ark_tpu import settings
-
+    (edges from the spatial-LDA difference matrices). `cell_table` is the
+    formatted per-FOV dict from `spLDA.processing.format_cell_table`, whose
+    coordinate columns are named x/y (reference `visualize.py:442-467`)."""
     fig, axes = plt.subplots(1, len(fovs), figsize=(6 * len(fovs), 6),
                              squeeze=False)
     train_dm = diff_mats["train_diff_mat"]
     for ax, fov in zip(axes[0], fovs):
         fov_table = cell_table[fov]
-        coords = fov_table[[settings.CENTROID_1, settings.CENTROID_0]].values
+        coords = fov_table[["x", "y"]].values
         ax.scatter(coords[:, 0], coords[:, 1], s=4, c="k")
         dm = train_dm.get(fov) if isinstance(train_dm, dict) else None
         if dm is not None:

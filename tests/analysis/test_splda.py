@@ -126,3 +126,19 @@ def test_save_read_lda_file(tmp_path, lda_cell_table):
     spu.save_spatial_lda_file(df, str(tmp_path), "frame", format="csv")
     with pytest.raises(ValueError):
         spu.save_spatial_lda_file(d, str(tmp_path), "bad", format="csv")
+
+
+def test_visualize_fov_graphs(lda_cell_table, tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from ark_tpu.analysis import visualize
+
+    fmt = pros.format_cell_table(lda_cell_table, clusters=["A", "B", "C", "D"])
+    features = pros.featurize_cell_table(fmt, featurization="cluster",
+                                         radius=100, train_frac=0.75)
+    diff = pros.create_difference_matrices(fmt, features)
+    visualize.visualize_fov_graphs(fmt, features, diff, fovs=["fov0"],
+                                   save_dir=str(tmp_path))
+    assert (tmp_path / "adjacency_graph_fovs_fov0.png").exists()
+    plt.close("all")
