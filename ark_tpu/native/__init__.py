@@ -14,12 +14,15 @@ import subprocess
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "watershed.cpp")
-_LIB = os.path.join(_DIR, "_native.so")
+# cached under a non-package subdir so import discovery never sees the .so
+# (it is a C-ABI library loaded by path via ctypes, not a Python extension)
+_LIB = os.path.join(_DIR, "_build", "_native.so")
 
 _lib = None
 
 
 def _build():
+    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
     subprocess.run(cmd, check=True, capture_output=True)
 
