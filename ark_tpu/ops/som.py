@@ -375,47 +375,76 @@ def som_train_sharded(data, mesh, data_axis: str = "fov", xdim: int = 10,
                       ydim: int = 10, num_passes: int = 1,
                       lr_start: float = 0.05, lr_end: float = 0.01,
                       seed: int = 42, batch_size: int = 4096,
-                      radius_start: Optional[float] = None) -> np.ndarray:
-    """Multi-chip SOM training: the full lr/radius schedule with the batch
-    dimension sharded over `data_axis` and the (HᵀX, Hᵀ1) statistics
-    all-reduced over ICI every step (SURVEY.md §2.5(c)).
+                      radius_start: Optional[float] = None,
+                      weights_init: Optional[np.ndarray] = None) -> np.ndarray:
+    """Multi-chip SOM training: the full lr/radius schedule as ONE jitted
+    sharded scan — rows row-sharded over `data_axis`, each device scanning
+    its local visiting order, with the (HᵀX, Hᵀ1) batch statistics psum'd
+    over ICI every step (SURVEY.md §2.5(c)). This is the same `_train_scan`
+    program as single-chip training with `axis_name` wired through shard_map,
+    so the whole schedule is a single dispatch (round 1's version was a
+    Python loop with one device_put + dispatch per step — ~30 ms each on the
+    attach).
 
-    Semantics match `som_train` (same schedule/init); the batch partitioning
-    differs, so weights agree distributionally, not bitwise.
+    Data placement: rows are shuffled once (seeded) and split contiguously
+    across devices, so each device's shard is an iid sample; every global
+    minibatch is the union of per-device local minibatches. Semantics match
+    `som_train` (same schedule/init); the batch partitioning differs, so
+    weights agree distributionally, not bitwise.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    data = jnp.asarray(data, jnp.float32)
-    n, c = data.shape
+    host_data = np.asarray(jax.device_get(data), np.float32) \
+        if isinstance(data, jax.Array) else np.asarray(data, np.float32)
+    n, c = host_data.shape
+    if n == 0:
+        raise ValueError("cannot train SOM on empty data")
     k = xdim * ydim
-    n_dev = mesh.devices.size
-    key = jax.random.PRNGKey(seed)
-    k_init, k_order = jax.random.split(key)
-    init_rows = jax.random.choice(k_init, n, shape=(k,), replace=n < k)
-    w0 = jnp.take(data, init_rows, axis=0)
+    n_dev = int(mesh.devices.size)
+    host_rng = np.random.default_rng(seed)
 
-    bs = int(min(batch_size, max(n, 1)))
-    bs = max((bs // n_dev) * n_dev, n_dev)           # divisible shards
-    n_steps = max((int(num_passes) * n) // bs, 1)
-    perm = jax.random.permutation(k_order, n)
-    reps = (n_steps * bs + n - 1) // n
-    order = np.asarray(jnp.tile(perm, reps)[: n_steps * bs])
+    if weights_init is None:
+        init_rows = host_rng.choice(n, size=k, replace=n < k)
+        w0 = jnp.asarray(host_data[init_rows])
+    else:
+        w0 = jnp.asarray(weights_init, jnp.float32)
+
+    total = int(num_passes) * n
+    bs = _next_pow2(max(total // MAX_TRAIN_STEPS, 1))
+    bs = int(max(min(bs, 1 << 16), min(batch_size, _next_pow2(total))))
+    bs = max((bs // n_dev) * n_dev, n_dev)            # divisible shards
+    bs_local = bs // n_dev
+    n_steps = max(total // bs, 1)
+
+    # shuffle rows once, then row-shard: device d owns rows
+    # perm[d*n_local:(d+1)*n_local] (wrapped duplicates pad the tail)
+    n_local = _next_pow2((n + n_dev - 1) // n_dev)
+    perm = host_rng.permutation(n)
+    shard_rows = np.resize(perm, n_local * n_dev)
+    data_sharded = jax.device_put(host_data[shard_rows],
+                                  NamedSharding(mesh, P(data_axis)))
+    # per-device local visiting orders over real local rows only
+    order_len = MAX_TRAIN_STEPS * bs_local
+    n_real_local = min(n, n_local)
+    orders = np.stack([
+        np.resize(host_rng.permutation(n_real_local), order_len)
+        for _ in range(n_dev)]).astype(np.int32).reshape(-1)
+    order_sharded = jax.device_put(orders, NamedSharding(mesh, P(data_axis)))
+
     r0 = radius_start if radius_start is not None \
         else default_radius_start(xdim, ydim)
     gdist = jnp.asarray(grid_distances(xdim, ydim))
-    step = make_sharded_train_step(mesh, data_axis=data_axis)
-    batch_sharding = NamedSharding(mesh, P(data_axis))
 
-    w = w0
-    denom = max(n_steps - 1, 1)
-    for t in range(n_steps):
-        frac = t / denom
-        alpha = lr_start + (lr_end - lr_start) * frac
-        radius = r0 * (1.0 - frac)
-        x = jax.device_put(
-            jnp.take(data, jnp.asarray(order[t * bs:(t + 1) * bs]), axis=0),
-            batch_sharding)
-        w = step(w, x, jnp.float32(alpha), jnp.float32(radius), gdist)
+    def local_train(data_l, w0, order_l, gdist, n_steps):
+        return _train_scan(data_l, w0, order_l, gdist, n_steps, bs_local,
+                           float(lr_start), float(lr_end), float(r0),
+                           axis_name=data_axis)
+
+    fn = jax.jit(jax.shard_map(
+        local_train, mesh=mesh,
+        in_specs=(P(data_axis), P(), P(data_axis), P(), P()),
+        out_specs=P()))
+    w = fn(data_sharded, w0, order_sharded, gdist, jnp.int32(n_steps))
     return np.asarray(w)
 
 

@@ -39,13 +39,14 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                          process_id: Optional[int] = None) -> None:
     """Initialize jax.distributed for the multi-host (DCN) cohort config
     (BASELINE.json config 5). Per-host TIFF loading feeds the global mesh;
-    no-op if already initialized."""
+    no-op if already initialized — any other failure propagates."""
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def pad_to_multiple(n: int, m: int) -> int:

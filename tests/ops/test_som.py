@@ -109,6 +109,26 @@ def test_sharded_train_step_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(w_sharded), w_ref, rtol=1e-4, atol=1e-5)
 
 
+def test_som_train_sharded_distributionally_matches_single(rng):
+    """The one-jitted-scan sharded trainer must land in the same optimum as
+    `som_train`: near-equal mean quantization error on held-out data (weights
+    differ bitwise — different batch partitioning — but not in quality)."""
+    from jax.sharding import Mesh
+    data, _ = _clustered_data(rng, n_per=400, c=5)
+    held_out, _ = _clustered_data(rng, n_per=100, c=5)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("fov",))
+    w_single = som.som_train(data, num_passes=2, seed=42, batch_size=256)
+    w_sharded = som.som_train_sharded(data, mesh, num_passes=2, seed=42,
+                                      batch_size=256)
+    _, d_single = som.som_map(w_single, held_out, impl="xla")
+    _, d_sharded = som.som_map(w_sharded, held_out, impl="xla")
+    assert d_sharded.mean() < 1.25 * d_single.mean() + 1e-4
+    # weights_init path: deterministic given identical init + seed
+    w_a = som.som_train_sharded(data, mesh, seed=7, weights_init=w_single)
+    w_b = som.som_train_sharded(data, mesh, seed=7, weights_init=w_single)
+    np.testing.assert_array_equal(w_a, w_b)
+
+
 def test_som_train_sharded_full_loop(rng):
     from jax.sharding import Mesh
     data, labels = _clustered_data(rng, n_per=200, c=4)
