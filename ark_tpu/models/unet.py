@@ -59,22 +59,27 @@ class BottleneckBlock(nn.Module):
 
 
 class ResNet50Backbone(nn.Module):
-    """Standard ResNet50 stages; returns C2..C5 feature maps (strides 4..32)."""
+    """Standard ResNet50 stages; returns C2..C5 feature maps (strides 4..32).
+
+    `stage_sizes`/`base_width` shrink the backbone for the mini configuration
+    (tests, synthetic training demos); defaults are exact ResNet50."""
     dtype: Any = jnp.bfloat16
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = functools.partial(nn.BatchNorm, use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5, dtype=self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.Conv(self.base_width, (7, 7), strides=(2, 2),
+                    padding=[(3, 3), (3, 3)], use_bias=False,
+                    dtype=self.dtype)(x)
         x = norm()(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         feats = []
         for i, n_blocks in enumerate(self.stage_sizes):
-            features = 64 * (2 ** i)
+            features = self.base_width * (2 ** i)
             strides = (1, 1) if i == 0 else (2, 2)
             x = BottleneckBlock(features, strides=strides, projection=True,
                                 dtype=self.dtype)(x, train)
@@ -130,15 +135,33 @@ class PanopticNet(nn.Module):
     Output dict per compartment c in {'whole_cell', 'nuclear'}:
       `<c>_inner_distance`: (B, H, W, 1) ReLU regression of cell-center distance
       `<c>_pixelwise`: (B, H, W, 3) softmax over interior/border/background
+
+    Defaults are the published Mesmer configuration (ResNet50 backbone,
+    256-channel FPN). `stage_sizes`/`base_width`/`fpn_channels` define the
+    mini configuration (`init_mesmer_mini`) used for fast synthetic training
+    and tests — same code path, fewer/narrower blocks.
     """
     compartments: Sequence[str] = ("whole_cell", "nuclear")
     dtype: Any = jnp.bfloat16
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    base_width: int = 64
+    fpn_channels: int = 256
+    # published Mesmer uses relu on the inner-distance head; training from
+    # scratch with MSE kills saturating heads on mostly-zero targets (relu:
+    # all pre-activations go negative -> zero grad; softplus: driven to -inf
+    # until exp underflows — both observed on synthetic training), so
+    # trained-from-scratch configs use a linear head (MSE optimum is the
+    # conditional mean, no saturation; the deep-watershed postprocess
+    # thresholds at 0.1 so small negative background is harmless)
+    inner_activation: str = "relu"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jax.Array]:
         x = x.astype(self.dtype)
-        feats = ResNet50Backbone(dtype=self.dtype)(x, train)
-        pyramid = FPN(dtype=self.dtype)(feats)
+        feats = ResNet50Backbone(dtype=self.dtype,
+                                 stage_sizes=tuple(self.stage_sizes),
+                                 base_width=self.base_width)(x, train)
+        pyramid = FPN(channels=self.fpn_channels, dtype=self.dtype)(feats)
         p2 = pyramid[0]
         out = {}
         for comp in self.compartments:
@@ -146,18 +169,45 @@ class PanopticNet(nn.Module):
                 p2, x.shape[1:3])
             pixelwise = SemanticHead(3, dtype=self.dtype,
                                      name=f"{comp}_pixelwise")(p2, x.shape[1:3])
-            out[f"{comp}_inner_distance"] = nn.relu(inner)
+            act = {"relu": nn.relu, "softplus": nn.softplus,
+                   "linear": lambda y: y}[self.inner_activation]
+            out[f"{comp}_inner_distance"] = act(inner)
             out[f"{comp}_pixelwise"] = jax.nn.softmax(pixelwise, axis=-1)
         return out
 
 
-def init_mesmer(seed: int = 0, input_shape=(1, 256, 256, 2),
-                dtype=jnp.bfloat16):
-    """Initialize a Mesmer PanopticNet; returns (model, variables)."""
-    model = PanopticNet(dtype=dtype)
-    variables = model.init(jax.random.PRNGKey(seed),
-                           jnp.zeros(input_shape, jnp.float32), train=False)
+@functools.lru_cache(maxsize=8)
+def _init_cached(seed, input_shape, dtype, config_items):
+    model = PanopticNet(dtype=dtype, **dict(config_items))
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        jax.random.PRNGKey(seed), jnp.zeros(input_shape, jnp.float32))
     return model, variables
+
+
+def init_mesmer(seed: int = 0, input_shape=(1, 256, 256, 2),
+                dtype=jnp.bfloat16, **config):
+    """Initialize a Mesmer PanopticNet; returns (model, variables).
+
+    Init runs under jit — eager flax init of the full ResNet50 evaluates
+    ~160 convs op-by-op (98 s on this host); jitted it is one compile.
+    Results are memoized per (seed, shape, dtype, config): repeated inits
+    (common in tests) return the same model and variables pytree — treat
+    the variables as immutable (all jax ops copy; never mutate in place)."""
+    config_items = tuple(sorted(
+        (k, tuple(v) if isinstance(v, (list, tuple)) else v)
+        for k, v in config.items()))
+    return _init_cached(seed, tuple(input_shape), dtype, config_items)
+
+
+def init_mesmer_mini(seed: int = 0, input_shape=(1, 64, 64, 2),
+                     dtype=jnp.float32):
+    """A small PanopticNet (~0.46M params): 1-block stages, width 16,
+    64-channel FPN, linear inner-distance head (trained from scratch).
+    Same code path as the full Mesmer configuration; used for
+    synthetic-data training demos and the planted-instance e2e tests."""
+    return init_mesmer(seed=seed, input_shape=input_shape, dtype=dtype,
+                       stage_sizes=(1, 1, 1, 1), base_width=16,
+                       fpn_channels=64, inner_activation="linear")
 
 
 def load_params_npz(path: str) -> Dict:

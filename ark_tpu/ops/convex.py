@@ -1,15 +1,34 @@
-"""Host-side per-cell convex-hull geometry (SURVEY.md §7 hard part c/d).
+"""Per-cell convex-hull geometry (SURVEY.md §7 hard part c/d).
 
-Convex hulls are irregular, tiny, per-cell computations that do not map to
-XLA; the framework computes them on host with scipy.spatial.ConvexHull while
-all dense reductions stay on device. Replaces skimage's `convex_image` /
-`convex_area` used by the reference's derived regionprops
-(`regionprops_extraction.py:60-143`)."""
+Replaces skimage's `convex_image` / `convex_area` used by the reference's
+derived regionprops (`regionprops_extraction.py:60-143`).
+
+Default path is a batched device rasterizer (`_hull_raster_device`) built on
+a row-envelope identity instead of hull construction: every vertex of the
+convex hull of a set of grid points is a row-extreme point (it maximizes
+some direction with a horizontal component, or sits on the extreme rows), so
+the hull's x-interval at integer row y is exactly
+
+    Xhi(y) = max over occupied rows i <= y <= j of the linear interpolation
+             of (i, xhi_i) .. (j, xhi_j) at y        (Xlo symmetric, min)
+
+— a masked (T, T, T) tensor max, no scipy, no sequential monotone-chain
+stack, vmapped over cells bucketed by bounding-box size. Interpolated
+values are multiples of 1/(j−i) >= 1/T, f32 error ~1e-5, so an epsilon of
+1e-3 makes the inclusive pixel-center test exact. Cells with bbox > 128
+fall back to the original host path (scipy ConvexHull + half-plane test,
+`convex_image`). Known divergence: a fully collinear cell WITH pixel gaps
+(disconnected) rasterizes on-segment gap pixels here (the true hull);
+the host fallback returns hull == mask — unreachable for connected cells.
+"""
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -62,13 +81,202 @@ def convex_image(coords: np.ndarray) -> Tuple[np.ndarray, np.ndarray, Tuple[int,
     return mask, hull_img, (int(rmin), int(cmin))
 
 
-def convex_features(labels: np.ndarray,
-                    cell_ids: np.ndarray) -> Dict[str, np.ndarray]:
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _hull_raster_device(xlo: jax.Array, xhi: jax.Array, tile: int):
+    """Batched hull rasters from per-row extremes.
+
+    xlo/xhi: (B, T) f32 min/max pixel column per bbox-local row (+inf/-inf
+    where the row has no pixels). Returns (raster (B, T, T) bool,
+    area (B,), cy (B,), cx (B,)) — centroids in bbox-local coords."""
+    t = tile
+    idx = jnp.arange(t, dtype=jnp.float32)
+    ii = idx[:, None, None]   # i: lower row of the pair
+    jj = idx[None, :, None]   # j: upper row
+    yy = idx[None, None, :]   # y: query row
+    denom = jnp.maximum(jj - ii, 1.0)
+    # interp coefficients; the degenerate pair i == j (valid only at y == i)
+    # must yield the row's own extreme, not 0·x + 0·x
+    ci = jnp.where(ii == jj, 1.0, (jj - yy) / denom)
+    cj = jnp.where(ii == jj, 0.0, (yy - ii) / denom)
+    span = (ii <= yy) & (yy <= jj)                       # (T, T, T)
+
+    def one(xl, xh):
+        valid = xh > -jnp.inf                            # occupied rows (T,)
+        ok = span & valid[:, None, None] & valid[None, :, None]
+        xl0 = jnp.where(valid, xl, 0.0)                  # keep inf out of *
+        xh0 = jnp.where(valid, xh, 0.0)
+        hi_cand = ci * xh0[:, None, None] + cj * xh0[None, :, None]
+        lo_cand = ci * xl0[:, None, None] + cj * xl0[None, :, None]
+        hi = jnp.max(jnp.where(ok, hi_cand, -jnp.inf), axis=(0, 1))   # (T,)
+        lo = jnp.min(jnp.where(ok, lo_cand, jnp.inf), axis=(0, 1))
+        cols = idx[None, :]
+        raster = (cols >= lo[:, None] - 1e-3) & (cols <= hi[:, None] + 1e-3)
+        area = jnp.sum(raster)
+        cy = jnp.sum(raster * idx[:, None]) / jnp.maximum(area, 1)
+        cx = jnp.sum(raster * cols) / jnp.maximum(area, 1)
+        return raster, area.astype(jnp.float32), cy, cx
+
+    return jax.vmap(one)(xlo, xhi)
+
+
+_MAX_TILE = 128
+
+
+def convex_features(labels: np.ndarray, cell_ids: np.ndarray,
+                    impl: str = "auto",
+                    with_masks: bool = True) -> Dict[str, np.ndarray]:
     """Per-cell convex_area and convex-centroid shift inputs.
 
     Returns dict of arrays aligned with `cell_ids`:
       convex_area, convex_centroid-0/1 (global coords), plus cached masks for
-      concavity analysis via `masks` (list of (mask, hull, origin))."""
+      concavity analysis via `masks` (list of (mask, hull, origin)).
+
+    impl='auto' runs the batched device rasterizer (cells bucketed by bbox
+    into power-of-two tiles, one compiled program per tile size); 'host'
+    forces the original per-cell scipy path (also the fallback for cells
+    with bbox > 128).
+
+    `with_masks=False` skips the per-cell (mask, hull) crop assembly — the
+    dominant host cost — and returns masks=[None]*n; pass it whenever only
+    convex_area / convex_centroid are consumed (everything except
+    num_concavities)."""
+    if impl == "host":
+        return _convex_features_host(labels, cell_ids)
+
+    n = len(cell_ids)
+    convex_area = np.zeros(n)
+    conv_cent = np.zeros((n, 2))
+    masks: List = [None] * n
+
+    # one sort of the foreground pixels drives everything: per-cell bboxes
+    # and per-(cell, row) column extremes all come from reduceat over runs —
+    # no per-cell Python in the array path
+    hh, ww = labels.shape
+    flat = labels.reshape(-1)
+    nz = np.flatnonzero(flat)
+    if nz.size == 0:
+        return {"convex_area": convex_area, "convex_centroid": conv_cent,
+                "masks": masks}
+    order = np.argsort(flat[nz], kind="stable")
+    snz = nz[order]
+    slabs = flat[nz][order]
+    ys = (snz // ww).astype(np.int64)
+    xs = (snz % ww).astype(np.int64)
+    starts = np.r_[0, np.flatnonzero(np.diff(slabs)) + 1]
+    counts = np.diff(np.r_[starts, len(slabs)])
+    uniq = np.asarray(slabs[starts])
+    ymin = np.minimum.reduceat(ys, starts)
+    ymax = np.maximum.reduceat(ys, starts)
+    xmin = np.minimum.reduceat(xs, starts)
+    xmax = np.maximum.reduceat(xs, starts)
+    hs = ymax - ymin + 1
+    ws = xmax - xmin + 1
+
+    # per-(cell, row) column extremes: runs of the composite (cell, y) key
+    inv = np.repeat(np.arange(len(uniq)), counts)
+    comp = inv * hh + ys
+    o2 = np.argsort(comp, kind="stable")
+    comp_s = comp[o2]
+    xs2 = xs[o2]
+    rstarts = np.r_[0, np.flatnonzero(np.diff(comp_s)) + 1]
+    run_cell = comp_s[rstarts] // hh           # dense cell index into uniq
+    run_ly = comp_s[rstarts] % hh - ymin[run_cell]
+    run_xmin = np.minimum.reduceat(xs2, rstarts) - xmin[run_cell]
+    run_xmax = np.maximum.reduceat(xs2, rstarts) - xmin[run_cell]
+
+    # map requested cell_ids -> dense index (or -1 when absent)
+    pos_of = np.searchsorted(uniq, cell_ids)
+    pos_of = np.where(
+        (pos_of < len(uniq)) & (uniq[np.minimum(pos_of, len(uniq) - 1)]
+                                == cell_ids), pos_of, -1)
+    out_of_dense = np.full(len(uniq), -1)      # dense idx -> output row
+    sel = pos_of >= 0
+    out_of_dense[pos_of[sel]] = np.flatnonzero(sel)
+
+    def cell_coords(dense_idx):
+        sl = slice(starts[dense_idx], starts[dense_idx] + counts[dense_idx])
+        return np.stack([ys[sl], xs[sl]], axis=1)
+
+    dims = np.maximum(hs, ws)
+    # oversized cells: original host path
+    for d_idx in np.flatnonzero(dims > _MAX_TILE):
+        i = out_of_dense[d_idx]
+        if i < 0:
+            continue
+        mask, hull, _ = convex_image(cell_coords(d_idx))
+        _fill_outputs(i, mask, hull, (int(ymin[d_idx]), int(xmin[d_idx])),
+                      convex_area, conv_cent, masks)
+
+    # tile sizes graded finer than powers of two: the (T, T, T) envelope
+    # tensor makes a snug tile worth ~2x over the next pow2
+    tile_grades = (12, 16, 24, 32, 48, 64, 96, 128)
+    tile_of = np.full(len(uniq), 0)
+    for t in tile_grades[::-1]:
+        tile_of[dims <= t] = t
+    tile_of[dims > _MAX_TILE] = 0
+    tile_of[out_of_dense < 0] = 0              # not requested
+
+    for tile in tile_grades:
+        members = np.flatnonzero(tile_of == tile)
+        if members.size == 0:
+            continue
+        b = len(members)
+        # bucket-local position of each dense cell index
+        bpos = np.full(len(uniq), -1)
+        bpos[members] = np.arange(b)
+        xlo = np.full((b, tile), np.inf, np.float32)
+        xhi = np.full((b, tile), -np.inf, np.float32)
+        rsel = bpos[run_cell] >= 0
+        xlo[bpos[run_cell[rsel]], run_ly[rsel]] = run_xmin[rsel]
+        xhi[bpos[run_cell[rsel]], run_ly[rsel]] = run_xmax[rsel]
+        # chunk so the (Bc, T, T, T) interp tensor stays ~32 MB; pad the
+        # tail chunk to the fixed size so each tile size compiles exactly
+        # one executable (a ragged tail would recompile)
+        chunk = max(1, (1 << 23) // (tile ** 3))
+        for c0 in range(0, b, chunk):
+            sl = slice(c0, min(c0 + chunk, b))
+            xlo_c, xhi_c = xlo[sl], xhi[sl]
+            pad = chunk - xlo_c.shape[0]
+            if pad:
+                xlo_c = np.pad(xlo_c, ((0, pad), (0, 0)),
+                               constant_values=np.inf)
+                xhi_c = np.pad(xhi_c, ((0, pad), (0, 0)),
+                               constant_values=-np.inf)
+            raster, area, cy, cx = _hull_raster_device(
+                jnp.asarray(xlo_c), jnp.asarray(xhi_c), tile)
+            area = np.asarray(area)
+            cy, cx = np.asarray(cy), np.asarray(cx)
+            if with_masks:
+                raster = np.asarray(raster)
+            mem = members[sl]
+            out_rows = out_of_dense[mem]
+            k = len(mem)
+            convex_area[out_rows] = area[:k]
+            conv_cent[out_rows, 0] = cy[:k] + ymin[mem]
+            conv_cent[out_rows, 1] = cx[:k] + xmin[mem]
+            if with_masks:
+                for j, d_idx in enumerate(mem):
+                    coords = cell_coords(d_idx)
+                    origin = (int(ymin[d_idx]), int(xmin[d_idx]))
+                    local = coords - np.array(origin)
+                    mask = np.zeros((int(hs[d_idx]), int(ws[d_idx])), bool)
+                    mask[local[:, 0], local[:, 1]] = True
+                    hull = raster[j, :hs[d_idx], :ws[d_idx]] | mask
+                    masks[out_rows[j]] = (mask, hull, origin)
+    return {"convex_area": convex_area, "convex_centroid": conv_cent,
+            "masks": masks}
+
+
+def _fill_outputs(i, mask, hull, origin, convex_area, conv_cent, masks):
+    convex_area[i] = hull.sum()
+    cy, cx = np.nonzero(hull)
+    conv_cent[i] = [cy.mean() + origin[0], cx.mean() + origin[1]]
+    masks[i] = (mask, hull, origin)
+
+
+def _convex_features_host(labels: np.ndarray,
+                          cell_ids: np.ndarray) -> Dict[str, np.ndarray]:
+    """Original host path: per-cell scipy ConvexHull + half-plane raster."""
     groups = group_coords_by_label(labels)
     n = len(cell_ids)
     convex_area = np.zeros(n)
@@ -79,10 +287,7 @@ def convex_features(labels: np.ndarray,
         if coords is None:
             continue
         mask, hull, origin = convex_image(coords)
-        convex_area[i] = hull.sum()
-        cy, cx = np.nonzero(hull)
-        conv_cent[i] = [cy.mean() + origin[0], cx.mean() + origin[1]]
-        masks[i] = (mask, hull, origin)
+        _fill_outputs(i, mask, hull, origin, convex_area, conv_cent, masks)
     return {"convex_area": convex_area, "convex_centroid": conv_cent,
             "masks": masks}
 
@@ -96,6 +301,74 @@ def crofton_perimeter_np(mask: np.ndarray) -> float:
     n_d1 = np.count_nonzero(m[:-1, :-1] != m[1:, 1:])
     n_d2 = np.count_nonzero(m[:-1, 1:] != m[1:, :-1])
     return float(np.pi / 4.0 * (n_h + n_v + (n_d1 + n_d2) / np.sqrt(2)) / 2.0)
+
+
+def count_concavities_batch(masks: List, small_concavity_minimum: float = 10,
+                            max_compactness: float = 60,
+                            large_concavity_minimum: float = 150
+                            ) -> np.ndarray:
+    """`count_concavities` over a whole FOV in one pass.
+
+    masks: list of (mask, hull, origin) or None (as produced by
+    `convex_features`). Stacks every cell's hull∖mask crop into one tall
+    zero-separated canvas, labels concavity components with ONE scipy
+    ndi.label call, and computes per-component area + Crofton perimeter with
+    vectorized crossing counts — identical values to the per-cell loop
+    (5k-cell FOV: one C labeling pass instead of 5k Python iterations)."""
+    import scipy.ndimage as ndi
+
+    out = np.zeros(len(masks))
+    crops = [(i, m[1] ^ m[0]) for i, m in enumerate(masks) if m is not None]
+    crops = [(i, d) for i, d in crops if d.any()]
+    if not crops:
+        return out
+    maxw = max(d.shape[1] for _, d in crops)
+    heights = [d.shape[0] for _, d in crops]
+    total_h = sum(heights) + len(crops) + 1
+    canvas = np.zeros((total_h, maxw + 2), bool)
+    row_cell = np.full(total_h, -1)            # canvas row -> cell index
+    y = 1
+    for (i, d), h in zip(crops, heights):
+        canvas[y:y + h, 1:1 + d.shape[1]] = d
+        row_cell[y:y + h] = i
+        y += h + 1
+
+    lab, n = ndi.label(canvas, structure=np.array([[0, 1, 0],
+                                                   [1, 1, 1],
+                                                   [0, 1, 0]]))
+    if n == 0:
+        return out
+    areas = np.bincount(lab.ravel(), minlength=n + 1)[1:]
+
+    # Crofton crossings per component: every adjacent pair with different
+    # labels contributes one crossing to each nonzero side (matches the
+    # per-component mask-vs-rest counting of crofton_perimeter_np)
+    def crossings(a, b):
+        diff = a != b
+        cnt = np.zeros(n + 1, np.int64)
+        np.add.at(cnt, a[diff], 1)
+        np.add.at(cnt, b[diff], 1)
+        return cnt[1:]
+
+    n_h = crossings(lab[:, :-1], lab[:, 1:])
+    n_v = crossings(lab[:-1, :], lab[1:, :])
+    n_d1 = crossings(lab[:-1, :-1], lab[1:, 1:])
+    n_d2 = crossings(lab[:-1, 1:], lab[1:, :-1])
+    perim = np.pi / 4.0 * (n_h + n_v + (n_d1 + n_d2) / np.sqrt(2)) / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        compactness = perim ** 2 / areas
+    keep = ((areas > small_concavity_minimum)
+            & (compactness < max_compactness)) \
+        | (areas > large_concavity_minimum)
+
+    # component -> cell via the row of its first pixel
+    first_row = np.full(n + 1, total_h, np.int64)
+    rows = np.repeat(np.arange(total_h), canvas.shape[1])
+    np.minimum.at(first_row, lab.ravel(), rows)
+    comp_cell = row_cell[np.minimum(first_row[1:], total_h - 1)]
+    for c in np.flatnonzero(keep):
+        out[comp_cell[c]] += 1
+    return out
 
 
 def count_concavities(mask: np.ndarray, hull: np.ndarray,

@@ -24,21 +24,73 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ark_tpu.ops import distances as dist_ops
-
 # precomputed curve parameters for (spread=1.0, min_dist=0.1), the
 # umap-learn defaults
 _A, _B = 1.576943, 0.895061
 
 
-def _knn(data: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
-    """(indices (N,k), dists (N,k)) of each point's k nearest neighbors
-    (self excluded)."""
-    d = dist_ops.pairwise_distances(data, data)
-    n = d.shape[0]
-    d = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d)  # exclude self
-    neg_top, idx = jax.lax.top_k(-d, k)
-    return idx, -neg_top
+@functools.partial(jax.jit, static_argnames=("k", "block_cols"))
+def _knn_row_block(rows: jax.Array, row_idx: jax.Array, data: jax.Array,
+                   n: int, k: int, block_cols: int):
+    """Exact kNN of `rows` (B, C) against `data` (padded to a multiple of
+    block_cols), via a lax.scan over column blocks with a running top-k
+    merge — peak memory O(B·block_cols + B·k), never N².
+
+    data rows at positions >= n are padding; they and the self-match are
+    masked to +inf. Returns (idx (B, k) int32, sqdist (B, k))."""
+    n_pad = data.shape[0]
+    blocks = data.reshape(n_pad // block_cols, block_cols, -1)
+    r2 = jnp.sum(rows * rows, axis=1)                              # (B,)
+
+    def merge(carry, args):
+        best_d, best_i = carry
+        blk, offset = args                                  # (Bc, C), scalar
+        col_idx = offset + jnp.arange(block_cols, dtype=jnp.int32)
+        c2 = jnp.sum(blk * blk, axis=1)
+        d = r2[:, None] - 2.0 * (rows @ blk.T) + c2[None, :]  # (B, Bc) MXU
+        invalid = (col_idx[None, :] >= n) | \
+                  (col_idx[None, :] == row_idx[:, None])
+        d = jnp.where(invalid, jnp.inf, d)
+        dcat = jnp.concatenate([best_d, d], axis=1)
+        icat = jnp.concatenate(
+            [best_i, jnp.broadcast_to(col_idx, d.shape)], axis=1)
+        neg_top, pos = jax.lax.top_k(-dcat, k)
+        return (-neg_top, jnp.take_along_axis(icat, pos, axis=1)), None
+
+    b = rows.shape[0]
+    init = (jnp.full((b, k), jnp.inf),
+            jnp.full((b, k), -1, jnp.int32))
+    offsets = jnp.arange(0, n_pad, block_cols, dtype=jnp.int32)
+    (best_d, best_i), _ = jax.lax.scan(merge, init, (blocks, offsets))
+    return best_i, jnp.maximum(best_d, 0.0)
+
+
+def _knn(data: jax.Array, k: int, block_rows: int = 4096,
+         block_cols: int = 2048) -> Tuple[jax.Array, jax.Array]:
+    """(indices (N,k), dists (N,k)) of each point's k nearest euclidean
+    neighbors (self excluded), exact, blocked: O(N·k + block area) memory
+    (a 200k-cell cohort table at f32 would need 160 GB for the full N×N
+    matrix; blocked it needs ~32 MB). Outer row blocks loop on host (one
+    compiled program reused); inner column blocks scan on device."""
+    n, c = data.shape
+    k = min(k, n - 1)
+    block_cols = min(block_cols, max(256, 1 << (n - 1).bit_length()))
+    n_pad = ((n + block_cols - 1) // block_cols) * block_cols
+    data_padded = jnp.pad(data, ((0, n_pad - n), (0, 0)))
+    block_rows = min(block_rows, n_pad)
+    # separate row padding so every row block slices in-bounds and aligned
+    n_pad_rows = ((n_pad + block_rows - 1) // block_rows) * block_rows
+    data_rows = jnp.pad(data_padded, ((0, n_pad_rows - n_pad), (0, 0)))
+    idx_out, d_out = [], []
+    for r0 in range(0, n, block_rows):
+        rows = jax.lax.dynamic_slice_in_dim(data_rows, r0, block_rows)
+        row_idx = r0 + jnp.arange(block_rows, dtype=jnp.int32)
+        bi, bd = _knn_row_block(rows, row_idx, data_padded, n, k, block_cols)
+        idx_out.append(bi)
+        d_out.append(bd)
+    idx = jnp.concatenate(idx_out)[:n]
+    d = jnp.concatenate(d_out)[:n]
+    return idx, jnp.sqrt(d)
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter",))
@@ -149,12 +201,13 @@ class UMAP:
         heads = jnp.repeat(jnp.arange(n), k)
         tails = idx.reshape(-1)
         wflat = w.reshape(-1)
-        # symmetrize: union weight for (i, j) and (j, i)
-        dense_idx = heads * n + tails
-        wmat = jnp.zeros(n * n, jnp.float32).at[dense_idx].max(wflat)
-        wmat = wmat.reshape(n, n)
-        wsym = wmat + wmat.T - wmat * wmat.T
-        w_edges = wsym[heads, tails]
+        # symmetrize without materializing N×N: the reverse weight w(j, i)
+        # is nonzero only if i appears in j's kNN list, so look it up in the
+        # (N, k) structure directly — O(N·k²) gathered compares
+        w_rev = jnp.sum(
+            jnp.take(w, tails, axis=0)
+            * (jnp.take(idx, tails, axis=0) == heads[:, None]), axis=1)
+        w_edges = wflat + w_rev - wflat * w_rev
 
         emb0 = _pca(data, self.n_components)
         emb0 = emb0 / (jnp.abs(emb0).max() + 1e-12) * 10.0

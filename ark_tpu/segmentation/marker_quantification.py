@@ -33,9 +33,11 @@ from ark_tpu.segmentation.signal_extraction import (EXTRACTION_FUNCTION,
                                                     EXTRACTION_FUNCTION_BATCH)
 from ark_tpu.utils.labeled_array import DataArray
 
-# moment-derived props computed vectorized (no per-cell work)
+# moment-derived props computed vectorized (no per-cell work);
+# centroid_dif uses the batched device hull centroid (ops.convex)
 _VECTOR_SINGLE_COMP = {"major_minor_axis_ratio", "perim_square_over_area",
-                       "major_axis_equiv_diam_ratio", "convex_hull_resid"}
+                       "major_axis_equiv_diam_ratio", "convex_hull_resid",
+                       "centroid_dif"}
 
 
 def _compartment_features(labels: np.ndarray, images, cell_ids: np.ndarray,
@@ -67,9 +69,14 @@ def _compartment_features(labels: np.ndarray, images, cell_ids: np.ndarray,
     need_convex = bool(
         ({"convex_area"} & set(regionprops_names))
         or (CONVEX_PROPS & set(regionprops_single_comp)))
+    # only per-cell raster consumers (num_concavities) need the crops; the
+    # array features come straight off the batched device rasterizer
+    need_masks = bool(set(regionprops_single_comp)
+                      - _VECTOR_SINGLE_COMP)
     convex = None
     if need_convex:
-        convex = convex_ops.convex_features(labels, cell_ids)
+        convex = convex_ops.convex_features(labels, cell_ids,
+                                            with_masks=need_masks)
 
     idx = cell_ids  # device arrays are indexed by raw label value
     columns = {}
@@ -95,10 +102,29 @@ def _compartment_features(labels: np.ndarray, images, cell_ids: np.ndarray,
                 columns["convex_area"] > 0,
                 (columns["convex_area"] - columns["area"])
                 / np.maximum(columns["convex_area"], 1), 0.0)
+            # distance between mask centroid and hull centroid / sqrt(area)
+            # (regionprops_extraction.centroid_dif, vectorized: both
+            # centroids are already per-cell arrays)
+            columns["centroid_dif"] = np.where(
+                columns["convex_area"] > 0,
+                np.hypot(
+                    columns["centroid-0"] - convex["convex_centroid"][:, 0],
+                    columns["centroid-1"] - convex["convex_centroid"][:, 1])
+                / np.sqrt(np.maximum(columns["area"], 1e-12)), 0.0)
 
     # per-cell (host) derived props: anything not vectorized above
     host_props = [p for p in regionprops_single_comp
                   if p not in _VECTOR_SINGLE_COMP]
+    if "num_concavities" in host_props and convex is not None:
+        # batched: one global component-labeling pass (ops.convex)
+        columns["num_concavities"] = convex_ops.count_concavities_batch(
+            convex["masks"],
+            small_concavity_minimum=reg_kwargs.get(
+                "small_concavity_minimum", 10),
+            max_compactness=reg_kwargs.get("max_compactness", 60),
+            large_concavity_minimum=reg_kwargs.get(
+                "large_concavity_minimum", 150))
+        host_props = [p for p in host_props if p != "num_concavities"]
     if host_props:
         for p in host_props:
             columns[p] = np.zeros(n_cells)

@@ -97,8 +97,18 @@ class Mesmer:
     """Whole-cell + nuclear segmentation from (nuclear, membrane) images."""
 
     def __init__(self, weights_path: Optional[str] = None, seed: int = 0,
-                 dtype=jnp.bfloat16):
-        self.model, self.variables = unet.init_mesmer(seed=seed, dtype=dtype)
+                 dtype=jnp.bfloat16, model=None, variables=None):
+        """Sources of weights, in precedence order: an injected
+        (model, variables) pair (e.g. from `train.train_on_synthetic` or a
+        sharded trainer), an `.npz` checkpoint (converted published weights
+        via `models/convert_deepcell.py`, or `unet.save_params_npz` output),
+        else random init (architecture/throughput demos only)."""
+        if model is not None:
+            self.model = model
+            self.variables = variables
+        else:
+            self.model, self.variables = unet.init_mesmer(seed=seed,
+                                                          dtype=dtype)
         if weights_path is not None:
             self.variables = unet.load_params_npz(weights_path)
         self._forward = jax.jit(

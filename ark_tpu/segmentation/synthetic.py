@@ -1,0 +1,140 @@
+"""Synthetic nuclei/membrane image generator + Mesmer training targets.
+
+The zero-egress build cannot fetch published Mesmer weights, so the
+segmentation capability is demonstrated the way the reference tests its
+spatial stack — with planted ground truth (reference
+`tests/synthetic_spatial_datagen.py:8-86` plants cell positions and asserts
+the analysis recovers them): we plant elliptical cells with nuclei, render
+(nuclear, membrane) channels, train the PanopticNet on the derived
+deep-watershed targets, and assert `Mesmer.predict` recovers the planted
+instances (IoU-matched).
+
+Also the training-data source for `segmentation.train.train_on_synthetic`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def synthetic_cells(rng: np.random.Generator, n_images: int, hw: int = 64,
+                    n_cells: Tuple[int, int] = (4, 9),
+                    radius: Tuple[float, float] = (6.0, 11.0),
+                    noise: float = 0.05
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Plant non-overlapping elliptical cells with concentric nuclei.
+
+    Returns (images (N, H, W, 2) float32 [nuclear, membrane channels],
+    cell_labels (N, H, W) int32, nuc_labels (N, H, W) int32).
+    """
+    yy, xx = np.mgrid[0:hw, 0:hw].astype(np.float32)
+    images = np.zeros((n_images, hw, hw, 2), np.float32)
+    cell_labels = np.zeros((n_images, hw, hw), np.int32)
+    nuc_labels = np.zeros((n_images, hw, hw), np.int32)
+
+    for i in range(n_images):
+        k = int(rng.integers(n_cells[0], n_cells[1] + 1))
+        placed = []  # (cy, cx, ry, rx, theta)
+        attempts = 0
+        while len(placed) < k and attempts < 200:
+            attempts += 1
+            ry = rng.uniform(*radius)
+            rx = rng.uniform(*radius)
+            cy = rng.uniform(ry + 1, hw - ry - 1)
+            cx = rng.uniform(rx + 1, hw - rx - 1)
+            rmax = max(ry, rx)
+            if any((cy - p[0]) ** 2 + (cx - p[1]) ** 2
+                   < (rmax + max(p[2], p[3]) + 1.0) ** 2 for p in placed):
+                continue
+            placed.append((cy, cx, ry, rx, rng.uniform(0, np.pi)))
+
+        for lab, (cy, cx, ry, rx, th) in enumerate(placed, start=1):
+            ct, st = np.cos(th), np.sin(th)
+            u = (yy - cy) * ct + (xx - cx) * st
+            v = -(yy - cy) * st + (xx - cx) * ct
+            # normalized elliptical radius: 1.0 at the cell boundary
+            r = np.sqrt((u / ry) ** 2 + (v / rx) ** 2)
+            cell = r <= 1.0
+            nuc = r <= 0.45
+            cell_labels[i][cell] = lab
+            nuc_labels[i][nuc] = lab
+            # nuclear channel: bright gaussian-falloff blob over the nucleus
+            images[i, :, :, 0] += np.where(r <= 0.6,
+                                           np.exp(-(r / 0.35) ** 2), 0.0)
+            # membrane channel: ring at the cell boundary
+            ring = np.exp(-((r - 1.0) / 0.12) ** 2) * cell
+            images[i, :, :, 1] += ring
+
+        images[i] += rng.normal(0, noise, size=(hw, hw, 2)).astype(np.float32)
+    return np.clip(images, 0, None), cell_labels, nuc_labels
+
+
+def targets_from_labels(labels: np.ndarray) -> Dict[str, np.ndarray]:
+    """Deep-watershed training targets from instance labels.
+
+    Returns {'inner_distance': (N, H, W) float32 — per-cell max-normalized
+    euclidean distance transform (peaks 1.0 at cell centers), 'pixelwise':
+    (N, H, W, 3) float32 one-hot [interior, border, background]} — the two
+    semantic-head targets of the Mesmer PanopticNet (deepcell-tf's
+    transform_masks 'inner-distance' / 'pixelwise' modes; reference consumes
+    them via the DeepCell service, `deepcell_service_utils.py:214-343`).
+    """
+    import scipy.ndimage as ndi
+
+    n = labels.shape[0]
+    inner = np.zeros(labels.shape, np.float32)
+    pixelwise = np.zeros(labels.shape + (3,), np.float32)
+    for i in range(n):
+        lab = labels[i]
+        fg = lab > 0
+        if fg.any():
+            # EDT within the union; cells are planted non-touching so the
+            # per-cell transform equals the union transform restricted to it
+            edt = ndi.distance_transform_edt(fg).astype(np.float32)
+            maxima = ndi.maximum(edt, labels=lab,
+                                 index=np.arange(1, lab.max() + 1))
+            per_cell_max = np.concatenate([[1.0], np.maximum(maxima, 1e-6)])
+            inner[i] = np.where(fg, edt / per_cell_max[lab], 0.0)
+            # border: foreground pixels adjacent to a different label
+            eroded = ndi.grey_erosion(lab, size=3)
+            dilated = ndi.grey_dilation(lab, size=3)
+            border = fg & ((eroded != lab) | (dilated != lab))
+            pixelwise[i, :, :, 0] = (fg & ~border)
+            pixelwise[i, :, :, 1] = border
+        pixelwise[i, :, :, 2] = lab == 0
+    return {"inner_distance": inner, "pixelwise": pixelwise}
+
+
+def match_instances(pred: np.ndarray, truth: np.ndarray,
+                    iou_threshold: float = 0.5) -> Dict[str, float]:
+    """Greedy IoU matching of predicted vs ground-truth instances.
+
+    Returns {'recall', 'precision', 'mean_matched_iou', 'n_pred', 'n_true'}.
+    """
+    true_ids = [t for t in np.unique(truth) if t != 0]
+    pred_ids = [p for p in np.unique(pred) if p != 0]
+    used = set()
+    ious = []
+    for t in true_ids:
+        tmask = truth == t
+        best, best_iou = None, 0.0
+        for p in np.unique(pred[tmask]):
+            if p == 0 or p in used:
+                continue
+            pmask = pred == p
+            iou = (tmask & pmask).sum() / (tmask | pmask).sum()
+            if iou > best_iou:
+                best, best_iou = p, iou
+        if best is not None and best_iou >= iou_threshold:
+            used.add(best)
+            ious.append(best_iou)
+    n_match = len(ious)
+    return {
+        "recall": n_match / max(len(true_ids), 1),
+        "precision": n_match / max(len(pred_ids), 1),
+        "mean_matched_iou": float(np.mean(ious)) if ious else 0.0,
+        "n_pred": len(pred_ids),
+        "n_true": len(true_ids),
+    }

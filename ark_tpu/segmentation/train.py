@@ -1,0 +1,173 @@
+"""Mesmer PanopticNet training: deep-watershed losses + single-scan fit loop.
+
+Gives the segmentation stage a weights story beyond random init (the
+reference delegates to a remotely-trained model via the DeepCell service,
+`deepcell_service_utils.py:214-343`): production users convert published
+weights (`models/convert_deepcell.py`); offline/zero-egress users train on
+their own annotations (or the synthetic planted-cell generator) with this
+module. The planted-instance e2e test (`tests/segmentation/test_mesmer.py`)
+proves the trained-net → deep-watershed path recovers real instances.
+
+TPU-first: the entire training schedule is ONE jitted `lax.scan` over
+minibatch indices with the dataset device-resident — a single dispatch on
+the remote attach (a Python step loop costs ~30 ms dispatch per step there,
+see CLAUDE.md), and pure MXU work on real hardware. Multi-chip: wrap the
+returned train step in the same batch-sharded pjit pattern as
+`__graft_entry__.dryrun_multichip` (params replicated, batch over 'fov').
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ark_tpu.models import unet
+
+
+def mesmer_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
+                pixelwise_weight: float = 1.0,
+                inner_weight: float = 1.0) -> jax.Array:
+    """MSE on the inner-distance heads + cross-entropy on the pixelwise
+    heads, summed over compartments present in `targets`.
+
+    targets: {'<comp>_inner_distance': (B, H, W),
+              '<comp>_pixelwise': (B, H, W, 3) one-hot}.
+    """
+    loss = 0.0
+    for comp in ("whole_cell", "nuclear"):
+        t_inner = targets.get(f"{comp}_inner_distance")
+        if t_inner is not None:
+            pred = out[f"{comp}_inner_distance"][..., 0]
+            loss += inner_weight * jnp.mean((pred - t_inner) ** 2)
+        t_pix = targets.get(f"{comp}_pixelwise")
+        if t_pix is not None:
+            pred = out[f"{comp}_pixelwise"]
+            ce = -jnp.sum(t_pix * jnp.log(pred + 1e-7), axis=-1)
+            loss += pixelwise_weight * jnp.mean(ce)
+    return loss
+
+
+def fit(model, variables, images: np.ndarray,
+        targets: Dict[str, np.ndarray], steps: int = 300,
+        batch_size: int = 4, learning_rate: float = 1e-3,
+        seed: int = 42, scan_chunk: Optional[int] = None,
+        inner_weight: float = 10.0) -> Tuple[Dict, np.ndarray]:
+    """Train `model` on (images, targets); returns (variables, loss curve).
+
+    Step t takes minibatch rows order[t] (a seeded reshuffle-with-wrap of the
+    dataset). The schedule runs as jitted chunks of `scan_chunk` steps each
+    (a `lax.scan` inside one jit), so the per-step dispatch cost is divided
+    by the chunk length. Auto default: the full schedule in one dispatch on
+    TPU (the remote attach pays ~30 ms per dispatch), plain per-step jit on
+    CPU (a grad-of-scan program compiles ~2.5x slower than the step itself,
+    and CPU dispatch is free — measured 66 s vs 14 s for the mini config).
+    """
+    n = images.shape[0]
+    if scan_chunk is None:
+        scan_chunk = steps if jax.default_backend() == "tpu" else 1
+    host_rng = np.random.default_rng(seed)
+    reps = (steps * batch_size + n - 1) // n
+    order = np.concatenate([host_rng.permutation(n) for _ in range(reps)])
+    order = order[: steps * batch_size].reshape(steps, batch_size) \
+        .astype(np.int32)
+
+    x_all = jnp.asarray(images, jnp.float32)
+    t_all = {k: jnp.asarray(v, jnp.float32) for k, v in targets.items()}
+    tx = optax.adam(learning_rate)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+
+    def loss_fn(params, batch_stats, x, t):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=True,
+            mutable=["batch_stats"])
+        # inner_weight balances the small-magnitude distance MSE against the
+        # pixelwise CE (10x measured to sharpen the distance peaks without
+        # hurting the classifier)
+        return (mesmer_loss(out, t, inner_weight=inner_weight),
+                updates["batch_stats"])
+
+    def one_step(carry, rows):
+        params, batch_stats, opt_state = carry
+        x = jnp.take(x_all, rows, axis=0)
+        t = {k: jnp.take(v, rows, axis=0) for k, v in t_all.items()}
+        (loss, batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, x, t)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        return (params, batch_stats, opt_state), loss
+
+    if scan_chunk <= 1:
+        step_jit = jax.jit(one_step)
+        carry = (params, batch_stats, opt_state)
+        losses = []
+        for t in range(steps):
+            carry, loss = step_jit(carry, jnp.asarray(order[t]))
+            losses.append(loss)
+        params, batch_stats, _ = carry
+        losses = np.asarray(jax.device_get(losses))
+    else:
+        @jax.jit
+        def run_chunk(carry, order_chunk):
+            return jax.lax.scan(one_step, carry, order_chunk)
+
+        # pad the schedule to whole chunks with wrapped rows; extra steps
+        # are real training steps beyond `steps` only if steps % chunk != 0,
+        # so trim the loss curve back to `steps`
+        n_chunks = (steps + scan_chunk - 1) // scan_chunk
+        pad = n_chunks * scan_chunk - steps
+        if pad:
+            order = np.concatenate([order, order[:pad]])
+        carry = (params, batch_stats, opt_state)
+        losses = []
+        for ci in range(n_chunks):
+            chunk = jnp.asarray(order[ci * scan_chunk:(ci + 1) * scan_chunk])
+            carry, ls = run_chunk(carry, chunk)
+            losses.append(np.asarray(ls))
+        params, batch_stats, _ = carry
+        losses = np.concatenate(losses)[:steps]
+    return ({"params": params, "batch_stats": batch_stats}, losses)
+
+
+def train_on_synthetic(steps: int = 400, n_images: int = 24, hw: int = 64,
+                       seed: int = 42, mini: bool = True,
+                       learning_rate: float = 1e-3,
+                       weights_out: Optional[str] = None):
+    """Train a PanopticNet on planted synthetic cells until the
+    deep-watershed postprocess can recover instances. Returns a ready
+    `Mesmer` app (plus saves `.npz` weights when `weights_out` is given).
+
+    `mini=True` trains the small configuration (~0.5M params, seconds on
+    CPU); `mini=False` trains the full Mesmer ResNet50 configuration.
+    """
+    from ark_tpu.segmentation import synthetic
+    from ark_tpu.segmentation.mesmer import Mesmer, _percentile_normalize
+
+    rng = np.random.default_rng(seed)
+    images, cell_labels, nuc_labels = synthetic.synthetic_cells(
+        rng, n_images, hw=hw)
+    cell_t = synthetic.targets_from_labels(cell_labels)
+    nuc_t = synthetic.targets_from_labels(nuc_labels)
+    targets = {
+        "whole_cell_inner_distance": cell_t["inner_distance"],
+        "whole_cell_pixelwise": cell_t["pixelwise"],
+        "nuclear_inner_distance": nuc_t["inner_distance"],
+        "nuclear_pixelwise": nuc_t["pixelwise"],
+    }
+    init = unet.init_mesmer_mini if mini else functools.partial(
+        unet.init_mesmer, dtype=jnp.float32)
+    model, variables = init(seed=seed, input_shape=(1, hw, hw, 2))
+    # train on the same normalization predict applies
+    x_norm = np.asarray(_percentile_normalize(jnp.asarray(images)))
+    variables, losses = fit(model, variables, x_norm, targets, steps=steps,
+                            learning_rate=learning_rate, seed=seed)
+    if weights_out is not None:
+        unet.save_params_npz(weights_out, variables)
+    app = Mesmer(model=model, variables=variables)
+    return app, losses
