@@ -18,7 +18,13 @@ import numpy as np
 
 
 def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
-    """scipy.ndimage._gaussian_kernel1d for order=0: normalized Gaussian taps."""
+    """scipy.ndimage._gaussian_kernel1d for order=0: normalized Gaussian taps.
+
+    sigma <= 0 degenerates to the identity tap (scipy's gaussian_filter
+    returns the input unchanged at sigma=0; callers like
+    `classical.local_adaptive_threshold` hit this with block_size=1)."""
+    if sigma <= 0:
+        return np.ones(1, np.float32)
     radius = int(truncate * sigma + 0.5)
     x = np.arange(-radius, radius + 1, dtype=np.float64)
     phi = np.exp(-0.5 / (sigma * sigma) * x * x)

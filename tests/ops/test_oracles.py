@@ -1,0 +1,458 @@
+"""Independent-oracle tests for the device kernels.
+
+Every kernel in `ark_tpu/ops/` is checked against an implementation it does
+NOT share code with — scipy/sklearn where available, otherwise a small
+correct-by-construction NumPy loop written here. This mirrors the reference's
+golden-parity strategy (its quantification suite asserts feature-by-feature
+against skimage `regionprops_table`; `tests/segmentation/
+marker_quantification_test.py`) with the oracles this environment has.
+"""
+
+import heapq
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+from scipy.spatial.distance import cdist as scipy_cdist
+
+import jax.numpy as jnp
+
+from ark_tpu.ops import classical, distances, kmeans, morphology
+from ark_tpu.ops import segment_reduce as sr
+from ark_tpu.ops import watershed as ws
+
+
+# ---------------------------------------------------------------- distances
+
+def test_cdist_matches_scipy_rectangular(rng):
+    a = rng.normal(size=(83, 7)).astype(np.float32)
+    b = rng.normal(size=(41, 7)).astype(np.float32)
+    np.testing.assert_allclose(distances.cdist(a, b), scipy_cdist(a, b),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cdist_blocked_path_matches_unblocked(rng):
+    a = rng.normal(size=(300, 5)).astype(np.float32) * 10
+    full = distances.cdist(a)
+    blocked = distances.cdist(a, block_rows=64)
+    np.testing.assert_allclose(blocked, full, rtol=1e-5, atol=1e-5)
+    # the matmul decomposition ||a||²−2ab+||b||² cancels catastrophically for
+    # near-duplicate rows: d² error ~ eps·||x||⁴ amplified by sqrt near zero
+    # (scale-10 data: sqrt(1e-7·500) ≈ 0.02 absolute), exact elsewhere
+    np.testing.assert_allclose(full, scipy_cdist(a, a), rtol=2e-4, atol=0.05)
+
+
+def test_knn_mean_distance_matches_sort_oracle(rng):
+    d = rng.uniform(0.1, 50.0, size=(20, 30)).astype(np.float32)
+    d[3, :] = np.maximum(d[3, :], 0.0)
+    d[:, 0] = 0.0  # self-distances must be excluded
+    got = np.asarray(distances.knn_mean_distance(jnp.asarray(d), k=4))
+    want = np.empty(20, np.float32)
+    for i in range(20):
+        pos = np.sort(d[i][d[i] > 0])
+        want[i] = pos[:4].mean()
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+# ------------------------------------------------------------------ k-means
+
+def test_kmeans_matches_sklearn_on_separable_blobs(rng):
+    from sklearn.cluster import KMeans
+    from sklearn.metrics import adjusted_rand_score
+
+    centers = np.array([[0, 0], [12, 0], [0, 12], [12, 12]], np.float32)
+    truth = rng.integers(0, 4, size=400)
+    data = centers[truth] + rng.normal(0, 0.7, size=(400, 2)).astype(np.float32)
+
+    labels, inertia = kmeans.kmeans(data, k=4, seed=3)
+    sk = KMeans(n_clusters=4, n_init=10, random_state=0).fit(data)
+    # identical partition up to label permutation, and the same optimum
+    assert adjusted_rand_score(labels, sk.labels_) == 1.0
+    assert inertia == pytest.approx(sk.inertia_, rel=1e-3)
+
+
+def test_kmeans_inertia_near_sklearn_on_hard_data(rng):
+    """Unstructured data: Lloyd from k-means++ must land within a few percent
+    of sklearn's best-of-10 optimum."""
+    from sklearn.cluster import KMeans
+
+    data = rng.normal(size=(500, 6)).astype(np.float32)
+    _, inertia = kmeans.kmeans(data, k=7, seed=0, n_iter=100, n_init=10)
+    sk = KMeans(n_clusters=7, n_init=10, random_state=0).fit(data)
+    assert inertia <= sk.inertia_ * 1.02
+    # single-init must still be usable (larger inertia allowed)
+    _, inertia1 = kmeans.kmeans(data, k=7, seed=0, n_iter=100, n_init=1)
+    assert inertia1 >= inertia * 0.999
+
+
+# ---------------------------------------------------------------- watershed
+
+def _watershed_oracle(image, markers, mask):
+    """Correct-by-construction marker flood: ascending priority-queue,
+    4-connected, FIFO tie-break (heapq on (value, counter))."""
+    h, w = image.shape
+    out = np.zeros((h, w), np.int32)
+    heap = []
+    counter = 0
+    for y in range(h):
+        for x in range(w):
+            if markers[y, x] and mask[y, x]:
+                out[y, x] = markers[y, x]
+                heapq.heappush(heap, (image[y, x], counter, y, x))
+                counter += 1
+    while heap:
+        _, _, y, x = heapq.heappop(heap)
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < h and 0 <= nx < w and mask[ny, nx] \
+                    and out[ny, nx] == 0:
+                out[ny, nx] = out[y, x]
+                heapq.heappush(heap, (image[ny, nx], counter, ny, nx))
+                counter += 1
+    return out
+
+
+def test_watershed_agrees_with_priority_flood_oracle(rng):
+    # smooth random landscape: distinct basins, no plateaus
+    image = ndi.gaussian_filter(rng.normal(size=(48, 48)), 3).astype(np.float32)
+    n_markers = 6
+    markers = np.zeros((48, 48), np.int32)
+    ys = rng.integers(2, 46, n_markers)
+    xs = rng.integers(2, 46, n_markers)
+    for i, (y, x) in enumerate(zip(ys, xs), start=1):
+        markers[y, x] = i
+    mask = np.ones((48, 48), bool)
+    mask[:, 20] = ~(np.arange(48) < 10)  # carve a wall segment into the mask
+
+    got = ws.watershed(image, markers, mask)
+    want = _watershed_oracle(image, markers, mask)
+
+    # markers keep their labels; masked-out pixels stay 0
+    for i, (y, x) in enumerate(zip(ys, xs), start=1):
+        assert got[y, x] == i
+    assert (got[~mask] == 0).all()
+    # every reachable pixel is labeled
+    assert (got[mask] > 0).all() == (want[mask] > 0).all()
+    # the native bucket-queue quantizes priorities; agreement away from
+    # watershed ridge lines must still be near-total
+    agree = (got == want).mean()
+    assert agree > 0.95, f"only {agree:.3f} agreement with flood oracle"
+
+
+def test_watershed_exact_on_two_basins():
+    yy, xx = np.mgrid[:40, :60].astype(np.float32)
+    image = np.minimum((yy - 20) ** 2 + (xx - 15) ** 2,
+                       (yy - 20) ** 2 + (xx - 45) ** 2)
+    image = -np.exp(-image / 200)  # two clean pits
+    markers = np.zeros((40, 60), np.int32)
+    markers[20, 15] = 1
+    markers[20, 45] = 2
+    got = ws.watershed(image, markers, np.ones((40, 60), bool))
+    # left half floods from marker 1, right half from marker 2
+    assert (got[:, :28] == 1).all()
+    assert (got[:, 32:] == 2).all()
+
+
+def test_label_components_matches_scipy(rng):
+    mask = rng.random((64, 64)) < 0.35
+    got = ws.label_components(mask)
+    want, n_want = ndi.label(mask, structure=np.array(
+        [[0, 1, 0], [1, 1, 1], [0, 1, 0]]))
+    assert got.max() == n_want
+    assert (got > 0).sum() == (want > 0).sum()
+    # identical partition: each oracle component maps to exactly one got id
+    for i in range(1, n_want + 1):
+        ids = np.unique(got[want == i])
+        assert len(ids) == 1 and ids[0] > 0
+    # and vice versa (no merging)
+    assert len(np.unique(got[got > 0])) == n_want
+
+
+# ---------------------------------------------------------------- classical
+
+def test_sobel_matches_convolution_oracle(rng):
+    img = rng.random((32, 32)).astype(np.float32)
+    got = np.asarray(classical.sobel(jnp.asarray(img)))
+    ky = np.outer([1, 0, -1], [1, 2, 1]) / 8.0   # smoothed derivative
+    gy = ndi.convolve(img, ky, mode="reflect")
+    gx = ndi.convolve(img, ky.T, mode="reflect")
+    want = np.sqrt(gx ** 2 + gy ** 2) / np.sqrt(2.0)
+    np.testing.assert_allclose(got[2:-2, 2:-2], want[2:-2, 2:-2],
+                               rtol=1e-4, atol=1e-5)
+
+
+def _multi_otsu_bruteforce(img, classes, nbins=64):
+    """O(nbins^2) exhaustive search over threshold pairs."""
+    img = np.asarray(img, np.float64).ravel()
+    hist, edges = np.histogram(img, bins=nbins, range=(img.min(), img.max()))
+    centers = (edges[:-1] + edges[1:]) / 2
+    p = hist / hist.sum()
+    best, best_var = None, -1.0
+    if classes == 2:
+        for t in range(1, nbins):
+            w0, w1 = p[:t].sum(), p[t:].sum()
+            if w0 == 0 or w1 == 0:
+                continue
+            m0 = (p[:t] * centers[:t]).sum() / w0
+            m1 = (p[t:] * centers[t:]).sum() / w1
+            var = w0 * m0 ** 2 + w1 * m1 ** 2
+            if var > best_var:
+                best_var, best = var, (centers[t - 1],)
+        return np.array(best)
+    for t1 in range(1, nbins - 1):
+        for t2 in range(t1 + 1, nbins):
+            ws_ = [p[:t1].sum(), p[t1:t2].sum(), p[t2:].sum()]
+            if min(ws_) == 0:
+                continue
+            ms = [(p[:t1] * centers[:t1]).sum() / ws_[0],
+                  (p[t1:t2] * centers[t1:t2]).sum() / ws_[1],
+                  (p[t2:] * centers[t2:]).sum() / ws_[2]]
+            var = sum(w * m ** 2 for w, m in zip(ws_, ms))
+            if var > best_var:
+                best_var, best = var, (centers[t1 - 1], centers[t2 - 1])
+    return np.array(best)
+
+
+@pytest.mark.parametrize("classes", [2, 3])
+def test_multi_otsu_matches_bruteforce(rng, classes):
+    img = np.concatenate([rng.normal(0.2, 0.05, 300),
+                          rng.normal(0.5, 0.05, 300),
+                          rng.normal(0.85, 0.05, 300)])
+    got = classical.multi_otsu(img, classes=classes, nbins=64)
+    want = _multi_otsu_bruteforce(img, classes, nbins=64)
+    # same bin (bin width ~ 0.02); formulations index the bin edge vs center
+    np.testing.assert_allclose(got, want, atol=0.03)
+    if classes == 3:
+        # thresholds must separate the three planted modes
+        assert 0.25 < got[0] < 0.45 and 0.55 < got[1] < 0.8
+
+
+def test_frangi_enhances_ridges_suppresses_blobs(rng):
+    img = np.zeros((64, 64), np.float32)
+    img[30:33, 8:56] = 1.0                       # a thin bright ridge
+    yy, xx = np.mgrid[:64, :64]
+    img += np.exp(-((yy - 12) ** 2 + (xx - 12) ** 2) / 8.0)  # a round blob
+    resp = np.asarray(classical.frangi(jnp.asarray(img), sigmas=(1, 2, 3)))
+    ridge_score = resp[31, 20:45].mean()
+    blob_score = resp[12, 12]
+    flat_score = resp[50:60, 40:60].mean()
+    assert ridge_score > 5 * max(blob_score, 1e-9)
+    assert ridge_score > 10 * (flat_score + 1e-9)
+
+
+def test_equalize_adapthist_properties(rng):
+    img = (rng.random((64, 64)) * 0.2).astype(np.float32)  # low contrast
+    out = classical.equalize_adapthist(img, kernel_size=16)
+    assert out.shape == img.shape
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # contrast must increase on a compressed-range input
+    assert out.std() > img.std()
+
+
+# --------------------------------------------------------------- morphology
+
+def _boundaries_oracle(labels, connectivity, mode):
+    h, w = labels.shape
+    out = np.zeros((h, w), bool)
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 2:
+        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    for y in range(h):
+        for x in range(w):
+            me = labels[y, x]
+            for dy, dx in offs:
+                ny, nx = y + dy, x + dx
+                if not (0 <= ny < h and 0 <= nx < w):
+                    continue
+                other = labels[ny, nx]
+                if other == me:
+                    continue
+                if mode == "thick":
+                    out[y, x] = True
+                elif mode == "inner" and me > 0:
+                    out[y, x] = True
+                elif mode == "outer" and (me == 0 or other == 0):
+                    out[y, x] = True
+    return out
+
+
+@pytest.mark.parametrize("mode", ["inner", "outer", "thick"])
+@pytest.mark.parametrize("connectivity", [1, 2])
+def test_find_boundaries_matches_loop_oracle(rng, mode, connectivity):
+    labels = np.zeros((24, 24), np.int32)
+    labels[3:12, 3:12] = 1
+    labels[8:20, 10:22] = 2      # touching pair
+    labels[15:19, 2:5] = 3
+    got = np.asarray(morphology.find_boundaries(
+        jnp.asarray(labels), connectivity=connectivity, mode=mode))
+    want = _boundaries_oracle(labels, connectivity, mode)
+    # interior (the jitted kernel treats off-image as 'edge' padding, the
+    # oracle skips out-of-bounds: identical away from the frame by design)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_binary_erosion_matches_scipy(rng):
+    mask = rng.random((40, 40)) < 0.6
+    for its in (1, 2):
+        got = np.asarray(morphology.binary_erosion(jnp.asarray(mask),
+                                                   iterations=its))
+        want = ndi.binary_erosion(
+            mask, structure=ndi.generate_binary_structure(2, 1),
+            iterations=its, border_value=0)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_remove_small_holes_matches_componentwise_oracle(rng):
+    mask = np.ones((32, 32), bool)
+    mask[4:6, 4:6] = False       # 4-px hole: filled
+    mask[10:20, 10:20] = False   # 100-px hole: kept
+    mask[0:3, 28:] = False       # touches border: kept regardless of size
+    got = morphology.remove_small_holes(mask, area_threshold=64)
+    assert got[4:6, 4:6].all()
+    assert not got[10:20, 10:20].any()
+    assert not got[0:3, 28:].any()
+    # scipy-based general check on random input
+    m2 = ndi.binary_dilation(rng.random((48, 48)) < 0.2, iterations=2)
+    got2 = morphology.remove_small_holes(m2, area_threshold=20)
+    lab, n = ndi.label(~m2)
+    border = set(np.unique(np.concatenate(
+        [lab[0], lab[-1], lab[:, 0], lab[:, -1]])))
+    want2 = m2.copy()
+    for i in range(1, n + 1):
+        comp = lab == i
+        if comp.sum() < 20 and i not in border:
+            want2 |= comp
+    np.testing.assert_array_equal(got2, want2)
+
+
+def test_remove_small_objects_matches_bincount_oracle(rng):
+    labels = np.zeros((30, 30), np.int32)
+    labels[0:2, 0:2] = 1     # size 4: removed at min_size=5
+    labels[5:10, 5:10] = 2   # size 25: kept
+    labels[20, 20] = 3       # size 1: removed
+    got = morphology.remove_small_objects(labels, min_size=5)
+    assert (got[labels == 1] == 0).all()
+    assert (got[labels == 2] == 2).all()
+    assert (got[labels == 3] == 0).all()
+
+
+# -------------------------------------------------- segment reductions
+
+def _random_labels(rng, shape=(48, 48), n_cells=12):
+    """Non-overlapping random rectangles + noise blobs; labels 1..n."""
+    labels = np.zeros(shape, np.int32)
+    for i in range(1, n_cells + 1):
+        y = int(rng.integers(0, shape[0] - 6))
+        x = int(rng.integers(0, shape[1] - 6))
+        h = int(rng.integers(2, 6))
+        w = int(rng.integers(2, 6))
+        labels[y:y + h, x:x + w] = i
+    return labels
+
+
+def test_channel_sums_match_scipy_sum_labels(rng):
+    labels = _random_labels(rng)
+    imgs = rng.random((48, 48, 3)).astype(np.float32)
+    n_seg = labels.max() + 1
+    got = np.asarray(sr.channel_sums(jnp.asarray(imgs), jnp.asarray(labels),
+                                     n_seg))
+    for c in range(3):
+        want = ndi.sum_labels(imgs[..., c], labels, index=np.arange(n_seg))
+        np.testing.assert_allclose(got[:, c], want, rtol=1e-5)
+
+
+def test_cell_sizes_and_centroids_match_scipy(rng):
+    labels = _random_labels(rng)
+    n_seg = labels.max() + 1
+    sizes = np.asarray(sr.cell_sizes(jnp.asarray(labels), n_seg))
+    np.testing.assert_array_equal(
+        sizes, np.bincount(labels.ravel(), minlength=n_seg))
+    cents = np.asarray(sr.centroids(jnp.asarray(labels), n_seg))
+    present = np.unique(labels[labels > 0])
+    want = ndi.center_of_mass(np.ones_like(labels), labels, index=present)
+    np.testing.assert_allclose(cents[present], np.array(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_positive_pixel_counts_match_loop(rng):
+    labels = _random_labels(rng)
+    imgs = (rng.random((48, 48, 2)) - 0.5).astype(np.float32)
+    n_seg = labels.max() + 1
+    got = np.asarray(sr.positive_pixel_counts(
+        jnp.asarray(imgs), jnp.asarray(labels), n_seg, threshold=0.2))
+    for lab in range(1, n_seg):
+        m = labels == lab
+        for c in range(2):
+            assert got[lab, c] == (imgs[..., c][m] > 0.2).sum()
+
+
+def _moment_oracle(labels):
+    """Per-cell regionprops-style features from explicit numpy moments."""
+    out = {}
+    for lab in np.unique(labels[labels > 0]):
+        ys, xs = np.nonzero(labels == lab)
+        n = len(ys)
+        cy, cx = ys.mean(), xs.mean()
+        mu20 = ((ys - cy) ** 2).mean()
+        mu02 = ((xs - cx) ** 2).mean()
+        mu11 = ((ys - cy) * (xs - cx)).mean()
+        cov = np.array([[mu20, mu11], [mu11, mu02]])
+        evals = np.linalg.eigvalsh(cov)  # ascending
+        l2, l1 = max(evals[0], 0.0), max(evals[1], 0.0)
+        out[int(lab)] = {
+            "area": float(n),
+            "centroid-0": cy,
+            "centroid-1": cx,
+            "major_axis_length": 4.0 * np.sqrt(l1),
+            "minor_axis_length": 4.0 * np.sqrt(l2),
+            "eccentricity": np.sqrt(max(1 - l2 / max(l1, 1e-12), 0.0)),
+            "equivalent_diameter": np.sqrt(4.0 * n / np.pi),
+            "orientation": 0.5 * np.arctan2(-2 * mu11, mu02 - mu20),
+        }
+    return out
+
+
+def test_moment_features_match_eigendecomposition_oracle(rng):
+    labels = _random_labels(rng, n_cells=10)
+    # add a rotated elongated blob for a nontrivial orientation
+    yy, xx = np.mgrid[:48, :48]
+    u = (yy - 36) * np.cos(0.6) + (xx - 30) * np.sin(0.6)
+    v = -(yy - 36) * np.sin(0.6) + (xx - 30) * np.cos(0.6)
+    labels[(u / 8) ** 2 + (v / 3) ** 2 <= 1.0] = 11
+    n_seg = labels.max() + 1
+    got = {k: np.asarray(v)
+           for k, v in sr.moment_features(jnp.asarray(labels), n_seg).items()}
+    want = _moment_oracle(labels)
+    for lab, feats in want.items():
+        for key, val in feats.items():
+            assert got[key][lab] == pytest.approx(val, rel=1e-4, abs=1e-4), \
+                f"{key} mismatch for label {lab}"
+    # orientation of the planted ellipse: regionprops convention maps the
+    # planted rotation 0.6 to -(pi/2 - 0.6)
+    assert got["orientation"][11] == pytest.approx(0.6 - np.pi / 2, abs=0.05)
+
+
+def test_euler_numbers_match_hole_count_oracle(rng):
+    labels = np.zeros((40, 40), np.int32)
+    labels[2:12, 2:12] = 1           # solid square: E=1
+    labels[20:32, 4:16] = 2
+    labels[24:28, 8:12] = 0          # one hole: E=0
+    labels[5:15, 22:36] = 3
+    labels[7:9, 25:27] = 0           # two holes: E=-1
+    labels[11:13, 30:33] = 0
+    n_seg = labels.max() + 1
+    got = np.asarray(sr.euler_numbers(jnp.asarray(labels), n_seg))
+    for lab in (1, 2, 3):
+        mask = labels == lab
+        filled = ndi.binary_fill_holes(mask)
+        holes, n_holes = ndi.label(filled & ~mask)
+        n_obj = ndi.label(mask)[1]
+        assert got[lab] == n_obj - n_holes
+
+
+def test_crofton_perimeter_disk_accuracy(rng):
+    yy, xx = np.mgrid[:128, :128]
+    labels = (((yy - 64) ** 2 + (xx - 64) ** 2) <= 40 ** 2).astype(np.int32)
+    got = float(np.asarray(sr.crofton_perimeter(jnp.asarray(labels), 2))[1])
+    want = 2 * np.pi * 40
+    assert got == pytest.approx(want, rel=0.03)
