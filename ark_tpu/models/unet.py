@@ -210,9 +210,19 @@ def init_mesmer_mini(seed: int = 0, input_shape=(1, 64, 64, 2),
                        fpn_channels=64, inner_activation="linear")
 
 
-def load_params_npz(path: str) -> Dict:
-    """Load a flattened param dict ('a/b/c' keys) from .npz into a pytree."""
+def load_params_npz(path: str, return_config: bool = False):
+    """Load a flattened param dict ('a/b/c' keys) from .npz into a pytree.
+
+    Checkpoints written by `save_params_npz` embed the PanopticNet
+    architecture config under '__config__'; pass return_config=True to get
+    (variables, config_dict_or_None)."""
+    import json
+
     flat = dict(np.load(path))
+    config = None
+    raw = flat.pop("__config__", None)
+    if raw is not None:
+        config = json.loads(str(raw.item() if raw.ndim == 0 else raw[0]))
     tree: Dict = {}
     for key, val in flat.items():
         node = tree
@@ -220,11 +230,15 @@ def load_params_npz(path: str) -> Dict:
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = jnp.asarray(val)
-    return tree
+    return (tree, config) if return_config else tree
 
 
-def save_params_npz(path: str, variables: Dict):
-    """Save a variables pytree as a flattened .npz."""
+def save_params_npz(path: str, variables: Dict, config: Dict = None):
+    """Save a variables pytree as a flattened compressed .npz; `config`
+    (PanopticNet kwargs, e.g. {'stage_sizes': [1,1,1,1], 'base_width': 16})
+    is embedded as JSON so loaders can rebuild the architecture."""
+    import json
+
     flat = {}
 
     def rec(node, prefix):
@@ -235,4 +249,6 @@ def save_params_npz(path: str, variables: Dict):
             flat[prefix] = np.asarray(node)
 
     rec(variables, "")
-    np.savez(path, **flat)
+    if config is not None:
+        flat["__config__"] = np.array(json.dumps(config))
+    np.savez_compressed(path, **flat)

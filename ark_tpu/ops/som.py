@@ -313,9 +313,24 @@ def _next_pow2(n: int) -> int:
     return 1 << max(n - 1, 1).bit_length()
 
 
+def _schedule_batch(total: int, batch_size: Optional[int]) -> int:
+    """Batch size so the FULL fixed-length schedule (MAX_TRAIN_STEPS active
+    updates) runs for any data size: large inputs get total/256-row batches;
+    small inputs wrap their permutation into extra passes (the batch analog
+    of online SOM's per-observation updates — a floor that swallowed the
+    dataset used to leave small/cell-table SOMs at ~1 update, i.e. frozen at
+    init). `batch_size` is an explicit override (clamped to pow2 bounds)."""
+    if batch_size is not None:
+        return int(np.clip(_next_pow2(batch_size) if batch_size & (batch_size - 1)
+                           else batch_size, 8, 1 << 16))
+    return int(np.clip(_next_pow2(max(total // MAX_TRAIN_STEPS, 1)),
+                       8, 1 << 16))
+
+
 def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
               lr_start: float = 0.05, lr_end: float = 0.01, seed: int = 42,
-              batch_size: int = 4096, radius_start: Optional[float] = None,
+              batch_size: Optional[int] = None,
+              radius_start: Optional[float] = None,
               weights_init: Optional[np.ndarray] = None) -> np.ndarray:
     """Train a SOM, TPU batch-parallel (defaults mirror `cluster_helpers.py:
     54-56` / `pixel_som_clustering.py:19-21`: 10×10 grid, 1 pass, lr .05→.01,
@@ -347,11 +362,11 @@ def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
         w0 = jnp.asarray(weights_init, jnp.float32)
 
     total = int(num_passes) * n
-    # pow2 batch bucket sized so the schedule spans ~MAX_TRAIN_STEPS updates;
-    # `batch_size` acts as a floor (callers tuning throughput raise it)
-    bs = _next_pow2(max(total // MAX_TRAIN_STEPS, 1))
-    bs = int(max(min(bs, 1 << 16), min(batch_size, _next_pow2(total))))
-    n_steps = max(total // bs, 1)
+    # every training run makes MAX_TRAIN_STEPS active updates over the full
+    # lr/radius schedule; the batch absorbs the data size (wrapped visiting
+    # order for small inputs — see _schedule_batch)
+    bs = _schedule_batch(total, batch_size)
+    n_steps = MAX_TRAIN_STEPS
     # seeded shuffled visiting order, wrapped to the fixed scan extent; data
     # rows are pow2-padded so cohort sizes reuse few compiled executables
     perm = host_rng.permutation(n)
@@ -374,7 +389,7 @@ def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
 def som_train_sharded(data, mesh, data_axis: str = "fov", xdim: int = 10,
                       ydim: int = 10, num_passes: int = 1,
                       lr_start: float = 0.05, lr_end: float = 0.01,
-                      seed: int = 42, batch_size: int = 4096,
+                      seed: int = 42, batch_size: Optional[int] = None,
                       radius_start: Optional[float] = None,
                       weights_init: Optional[np.ndarray] = None) -> np.ndarray:
     """Multi-chip SOM training: the full lr/radius schedule as ONE jitted
@@ -410,11 +425,10 @@ def som_train_sharded(data, mesh, data_axis: str = "fov", xdim: int = 10,
         w0 = jnp.asarray(weights_init, jnp.float32)
 
     total = int(num_passes) * n
-    bs = _next_pow2(max(total // MAX_TRAIN_STEPS, 1))
-    bs = int(max(min(bs, 1 << 16), min(batch_size, _next_pow2(total))))
+    bs = _schedule_batch(total, batch_size)
     bs = max((bs // n_dev) * n_dev, n_dev)            # divisible shards
     bs_local = bs // n_dev
-    n_steps = max(total // bs, 1)
+    n_steps = MAX_TRAIN_STEPS
 
     # shuffle rows once, then row-shard: device d owns rows
     # perm[d*n_local:(d+1)*n_local] (wrapped duplicates pad the tail)

@@ -364,32 +364,70 @@ def stitch_images_by_shape(data_dir, stitched_dir, img_sub_folder=None,
 # AnnData export (h5ad-layout HDF5 via h5py)
 # ---------------------------------------------------------------------------
 
+def _h5ad_set_encoding(node, enc_type: str, enc_version: str):
+    node.attrs["encoding-type"] = enc_type
+    node.attrs["encoding-version"] = enc_version
+
+
+def _h5ad_write_array(group, name: str, vals: np.ndarray):
+    """One spec-encoded array member: numeric -> 'array', strings ->
+    utf-8 variable-length 'string-array' (anndata on-disk spec v0.1)."""
+    import h5py
+    vals = np.asarray(vals)
+    if vals.dtype.kind in "UOS" or str(vals.dtype).startswith("str"):
+        ds = group.create_dataset(
+            name, data=[str(v) for v in vals],
+            dtype=h5py.string_dtype(encoding="utf-8"))
+        _h5ad_set_encoding(ds, "string-array", "0.2.0")
+    elif vals.dtype.kind == "b":
+        ds = group.create_dataset(name, data=vals)
+        _h5ad_set_encoding(ds, "array", "0.2.0")
+    else:
+        ds = group.create_dataset(name, data=vals)
+        _h5ad_set_encoding(ds, "array", "0.2.0")
+    return ds
+
+
 def _write_h5ad(path, X: np.ndarray, obs: pd.DataFrame, var_names: List[str],
                 obsm: Dict[str, np.ndarray]):
-    """Write a minimal AnnData-compatible .h5ad (HDF5) store."""
+    """Write an AnnData `.h5ad` following the anndata on-disk spec (v0.8+
+    element encodings: root 'anndata' 0.1.0, dataframe groups 0.2.0 with
+    `_index`/`column-order`, utf-8 'string-array' columns), so real anndata
+    readers open these stores. Divergence from the reference
+    (`data_utils.py:850-1004`): the reference writes *zarr* AnnData stores;
+    this build has no zarr, so the same logical object is written as HDF5
+    `.h5ad` — anndata reads both via `read_h5ad`/`read_zarr`.
+    """
     import h5py
     with h5py.File(path, "w") as f:
-        f.attrs["encoding-type"] = "anndata"
-        f.attrs["encoding-version"] = "0.1.0"
-        f.create_dataset("X", data=np.asarray(X, np.float32))
+        _h5ad_set_encoding(f, "anndata", "0.1.0")
+        _h5ad_write_array(f, "X", np.asarray(X, np.float32))
+
         grp_var = f.create_group("var")
+        _h5ad_set_encoding(grp_var, "dataframe", "0.2.0")
         grp_var.attrs["_index"] = "var_names"
-        grp_var.create_dataset("var_names",
-                               data=np.asarray(var_names, dtype="S"))
+        grp_var.attrs["column-order"] = np.array([], dtype="S")
+        _h5ad_write_array(grp_var, "var_names", np.asarray(var_names))
+
         grp_obs = f.create_group("obs")
+        _h5ad_set_encoding(grp_obs, "dataframe", "0.2.0")
         grp_obs.attrs["_index"] = "obs_names"
-        grp_obs.create_dataset("obs_names",
-                               data=np.asarray(obs.index.astype(str),
-                                               dtype="S"))
+        grp_obs.attrs["column-order"] = np.asarray(
+            [str(c) for c in obs.columns],
+            dtype=h5py.string_dtype(encoding="utf-8"))
+        _h5ad_write_array(grp_obs, "obs_names",
+                          np.asarray(obs.index.astype(str)))
         for col in obs.columns:
-            vals = obs[col].values
-            if vals.dtype.kind in "UO" or str(vals.dtype).startswith("str"):
-                grp_obs.create_dataset(col, data=np.asarray(vals, dtype="S"))
-            else:
-                grp_obs.create_dataset(col, data=np.asarray(vals))
+            _h5ad_write_array(grp_obs, str(col), obs[col].values)
+
         grp_obsm = f.create_group("obsm")
+        _h5ad_set_encoding(grp_obsm, "dict", "0.1.0")
         for key, arr in obsm.items():
-            grp_obsm.create_dataset(key, data=np.asarray(arr))
+            _h5ad_write_array(grp_obsm, key, np.asarray(arr))
+        # optional mappings anndata expects to be dict-encoded when present
+        for extra in ("uns", "layers", "obsp", "varp", "varm"):
+            g = f.create_group(extra)
+            _h5ad_set_encoding(g, "dict", "0.1.0")
 
 
 class AnnDataLite:
@@ -407,20 +445,30 @@ class AnnDataLite:
         return self.X.shape[0]
 
     @staticmethod
+    def _decode(vals: np.ndarray) -> np.ndarray:
+        """Bytes (fixed 'S' or vlen utf-8 object arrays) -> str."""
+        if vals.dtype.kind == "S":
+            return vals.astype(str)
+        if vals.dtype.kind == "O":
+            return np.array([v.decode() if isinstance(v, bytes) else str(v)
+                             for v in vals])
+        return vals
+
+    @staticmethod
     def read_h5ad(path) -> "AnnDataLite":
         import h5py
         with h5py.File(path, "r") as f:
             X = f["X"][:]
-            var_names = [v.decode() for v in f["var/var_names"][:]]
-            obs_names = [v.decode() for v in f["obs/obs_names"][:]]
+            dec = AnnDataLite._decode
+            var_index = f["var"].attrs.get("_index", "var_names")
+            obs_index = f["obs"].attrs.get("_index", "obs_names")
+            var_names = list(dec(f["var"][var_index][:]))
+            obs_names = list(dec(f["obs"][obs_index][:]))
             obs = {}
             for col in f["obs"]:
-                if col == "obs_names":
+                if col == obs_index:
                     continue
-                vals = f["obs"][col][:]
-                if vals.dtype.kind == "S":
-                    vals = vals.astype(str)
-                obs[col] = vals
+                obs[col] = dec(f["obs"][col][:])
             obs = pd.DataFrame(obs, index=obs_names)
             obsm = {k: f["obsm"][k][:] for k in f["obsm"]}
         return AnnDataLite(X, obs, var_names, obsm)

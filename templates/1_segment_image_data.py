@@ -21,7 +21,8 @@ from ark_tpu.utils import deepcell_service_utils
 
 
 def main(base_dir, nuc_channels, mem_channels, img_sub_folder=None,
-         fovs=None, nuclear_counts=False, fast_extraction=False):
+         fovs=None, nuclear_counts=False, fast_extraction=False,
+         weights_path=None):
     tiff_dir = os.path.join(base_dir, "image_data")
     deepcell_input_dir = os.path.join(base_dir, "segmentation",
                                       "deepcell_input")
@@ -39,9 +40,12 @@ def main(base_dir, nuc_channels, mem_channels, img_sub_folder=None,
         deepcell_input_dir, tiff_dir, nuc_channels, mem_channels, fovs,
         img_sub_folder=img_sub_folder)
 
-    # 2. segment on TPU (whole-cell + nuclear masks)
+    # 2. segment on TPU (whole-cell + nuclear masks); weights_path=None runs
+    # the full Mesmer architecture (convert published weights via
+    # models/convert_deepcell.py, or pass a trained checkpoint)
     deepcell_service_utils.create_deepcell_output(
-        deepcell_input_dir, deepcell_output_dir, fovs=fovs)
+        deepcell_input_dir, deepcell_output_dir, fovs=fovs,
+        weights_path=weights_path)
 
     # 3. extract the cell table (size-normalized + arcsinh)
     cell_table_size_norm, cell_table_arcsinh = \

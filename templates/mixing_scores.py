@@ -10,7 +10,8 @@ from ark_tpu.analysis import neighborhood_analysis, spatial_analysis_utils
 
 
 def main(base_dir, cell_table_path, target_cells, reference_cells,
-         distlim=50, mixing_type="percent"):
+         distlim=50, mixing_type="percent", ratio_threshold=5,
+         cell_count_thresh=200):
     dist_dir = os.path.join(base_dir, "spatial_analysis", "dist_mats")
     all_data = pd.read_csv(cell_table_path)
     if not os.path.exists(dist_dir):
@@ -26,7 +27,9 @@ def main(base_dir, cell_table_path, target_cells, reference_cells,
     for fov in fovs:
         fov_counts = counts[counts["fov"] == fov]
         score, total = neighborhood_analysis.compute_mixing_score(
-            fov_counts.copy(), target_cells, reference_cells, mixing_type)
+            fov_counts.copy(), target_cells, reference_cells, mixing_type,
+            ratio_threshold=ratio_threshold,
+            cell_count_thresh=cell_count_thresh)
         scores.append({"fov": fov, "mixing_score": score,
                        "population_size": total})
     out = pd.DataFrame(scores).merge(ratios, on="fov")

@@ -18,6 +18,8 @@ def main(base_dir, direction="fov_to_ome", img_sub_folder=None):
             print("wrote", out)
     else:
         for f in io_utils.list_files(ome_dir, substrs=".ome.tif"):
+            if not f.endswith((".ome.tif", ".ome.tiff")):
+                continue  # skip channel-name sidecars etc.
             out = ome_utils.ome_to_fov(os.path.join(ome_dir, f), image_dir,
                                        img_sub_folder=img_sub_folder)
             print("wrote", out)

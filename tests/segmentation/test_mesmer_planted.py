@@ -1,0 +1,95 @@
+"""Planted-instance e2e test for the Mesmer replacement.
+
+The reference's segmentation stage returns real Mesmer predictions from the
+DeepCell service (`deepcell_service_utils.py:214-343`). This build replaces
+it with an in-process PanopticNet; capability (not just throughput) is
+proven here the way the reference tests its spatial stack — with planted
+ground truth: the shipped synthetic-trained checkpoint must recover planted
+cell/nucleus instances from held-out images (IoU-matched), and a fresh
+short training run must reduce the deep-watershed loss.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ark_tpu.segmentation import mesmer, synthetic, train
+
+CKPT = os.path.join(os.path.dirname(mesmer.__file__), "..", "models",
+                    "checkpoints", "mesmer_mini_synthetic.npz")
+
+
+@pytest.fixture(scope="module")
+def trained_app():
+    return mesmer.Mesmer(weights_path=CKPT)
+
+
+def test_checkpoint_config_roundtrip(trained_app):
+    # the checkpoint's embedded config must rebuild the mini architecture
+    assert trained_app.model.base_width == 16
+    assert tuple(trained_app.model.stage_sizes) == (1, 1, 1, 1)
+    assert trained_app.model.inner_activation == "linear"
+
+
+def test_mesmer_recovers_planted_instances(trained_app):
+    """Held-out synthetic FOVs (seed != training seed): predicted instance
+    masks must match planted truth — per-compartment recall and IoU."""
+    rng = np.random.default_rng(999)
+    imgs, cells, nucs = synthetic.synthetic_cells(rng, 4, hw=64)
+    out = trained_app.predict(imgs)
+
+    for comp, truth in (("whole_cell", cells), ("nuclear", nucs)):
+        stats = [synthetic.match_instances(out[comp][i], truth[i])
+                 for i in range(4)]
+        recall = np.mean([s["recall"] for s in stats])
+        precision = np.mean([s["precision"] for s in stats])
+        iou = np.mean([s["mean_matched_iou"] for s in stats])
+        assert recall >= 0.85, f"{comp} recall {recall:.2f}"
+        assert precision >= 0.8, f"{comp} precision {precision:.2f}"
+        assert iou >= 0.7, f"{comp} matched IoU {iou:.2f}"
+
+
+def test_mesmer_labels_are_instances_not_semantic(trained_app):
+    """Touching ground-truth structure must come out as separate labels with
+    compact supports (deep-watershed property, not connected components)."""
+    rng = np.random.default_rng(31)
+    imgs, cells, _ = synthetic.synthetic_cells(rng, 2, hw=64,
+                                               n_cells=(6, 8))
+    out = trained_app.predict(imgs)
+    for b in range(2):
+        n_true = cells[b].max()
+        n_pred = len(np.unique(out["whole_cell"][b])) - 1
+        assert abs(n_pred - n_true) <= 2
+
+
+def test_training_reduces_loss_quickly():
+    """Fresh mini net, few steps on tiny images: the deep-watershed loss
+    must drop (the fit loop works end-to-end, including batch stats)."""
+    rng = np.random.default_rng(7)
+    imgs, cell_labels, nuc_labels = synthetic.synthetic_cells(rng, 8, hw=32)
+    cell_t = synthetic.targets_from_labels(cell_labels)
+    targets = {"whole_cell_inner_distance": cell_t["inner_distance"],
+               "whole_cell_pixelwise": cell_t["pixelwise"]}
+    from ark_tpu.models import unet
+    model, variables = unet.init_mesmer_mini(seed=0,
+                                             input_shape=(1, 32, 32, 2))
+    variables, losses = train.fit(model, variables, imgs, targets,
+                                  steps=12, batch_size=4, seed=0)
+    assert losses[-4:].mean() < losses[:4].mean()
+
+
+def test_saved_weights_reload_bitexact(tmp_path, trained_app):
+    from ark_tpu.models import unet
+    import jax
+
+    path = str(tmp_path / "w.npz")
+    unet.save_params_npz(path, trained_app.variables,
+                         config={"base_width": 16})
+    loaded, config = unet.load_params_npz(path, return_config=True)
+    assert config == {"base_width": 16}
+    leaves1 = jax.tree.leaves(trained_app.variables)
+    leaves2 = jax.tree.leaves(loaded)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
