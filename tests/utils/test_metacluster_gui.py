@@ -92,3 +92,134 @@ def test_zscore_normalize():
     vals = norm(np.array([-3.0, 0.0, 3.0]))
     np.testing.assert_allclose(vals, [0, 0.5, 1.0])
     np.testing.assert_allclose(norm.inverse([0, 0.5, 1.0]), [-3, 0, 3])
+
+
+# ---------------------------------------------------------------------------
+# Round-2: full widget/pick interaction surface (reference
+# `metaclustergui.py:24-567` behavior, driven headlessly on Agg).
+# ---------------------------------------------------------------------------
+
+class _FakePick:
+    """Stand-in for a matplotlib pick_event."""
+
+    class _Mouse:
+        def __init__(self, x, button):
+            self.name = "button_press_event"
+            self.xdata = float(x)
+            self.button = button
+
+    def __init__(self, artist, x, button=1):
+        self.artist = artist
+        self.mouseevent = self._Mouse(x, button)
+
+
+@pytest.fixture
+def full_gui(som_avg_csv, tmp_path):
+    mcd = metaclusterdata_from_files(som_avg_csv)
+    mcd.output_mapping_filename = str(tmp_path / "remap.csv")
+    gui = MetaClusterGui(mcd, enable_throttle=False)
+    assert gui._figure is not None, "widget layer failed to build on Agg"
+    return gui, mcd, tmp_path
+
+
+def test_gui_builds_full_axes_grid(full_gui):
+    gui, mcd, _ = full_gui
+    # 4x3 grid: pixel-count bars, colorbar, dendrogram, both heatmaps,
+    # selection strip, color-label strips
+    assert len(gui._figure.axes) >= 12
+    assert len(gui.rects_cp) == mcd.cluster_count
+    assert gui.im_c.get_array().shape == (mcd.marker_count,
+                                          mcd.cluster_count)
+    assert gui.im_m.get_array().shape == (mcd.marker_count,
+                                          mcd.metacluster_count)
+
+
+def test_gui_left_click_toggles_cluster(full_gui):
+    gui, mcd, _ = full_gui
+    first = mcd.clusters.index[0]
+    gui.onpick(_FakePick(gui.im_c, 0.4, button=1))
+    assert first in gui.selected_clusters
+    assert np.asarray(gui.selection_mask)[0, 0] == 1
+    gui.onpick(_FakePick(gui.im_c, 0.4, button=1))   # toggle off
+    assert first not in gui.selected_clusters
+
+
+def test_gui_metacluster_click_toggles_whole_group(full_gui):
+    gui, mcd, _ = full_gui
+    mc = mcd.metaclusters.index[1]
+    col = list(mcd.metaclusters.index).index(mc)
+    gui.onpick(_FakePick(gui.im_m, col + 0.2, button=1))
+    assert set(mcd.cluster_in_metacluster(mc)) <= gui.selected_clusters
+    # dropdown follows the selection
+    assert gui.current_metacluster.value == mc
+    gui.onpick(_FakePick(gui.im_m, col + 0.2, button=1))   # toggle off
+    assert not (set(mcd.cluster_in_metacluster(mc))
+                & gui.selected_clusters)
+
+
+def test_gui_color_label_click_selects_metacluster(full_gui):
+    gui, mcd, _ = full_gui
+    cluster = mcd.clusters_with_metaclusters.index[0]
+    mc = mcd.which_metacluster(cluster)
+    gui.onpick(_FakePick(gui.im_cl, 0.3, button=1))
+    assert set(mcd.cluster_in_metacluster(mc)) <= gui.selected_clusters
+
+
+def test_gui_right_click_remaps_selection(full_gui):
+    gui, mcd, tmp_path = full_gui
+    # select two clusters, then right-click metacluster 3's heatmap column
+    c0, c1 = mcd.clusters.index[0], mcd.clusters.index[1]
+    gui.select_cluster(c0)
+    gui.select_cluster(c1, extend=True)
+    target = mcd.metaclusters.index[2]
+    col = list(mcd.metaclusters.index).index(target)
+    gui.onpick(_FakePick(gui.im_m, col + 0.5, button=3))
+    assert mcd.which_metacluster(c0) == target
+    assert mcd.which_metacluster(c1) == target
+    # persisted immediately
+    out = pd.read_csv(tmp_path / "remap.csv")
+    assert (out.loc[out["pixel_som_cluster"] == c0,
+                    "pixel_meta_cluster"] == target).all()
+
+
+def test_gui_widgets_buttons_and_slider(full_gui):
+    gui, mcd, _ = full_gui
+    chosen = mcd.clusters.index[0]  # capture: remap re-sorts mcd.clusters
+    gui.select_cluster(chosen)
+    gui.new_metacluster_button.click()
+    assert mcd.which_metacluster(chosen) == 5
+    gui.clear_selection_button.click()
+    assert gui.selected_clusters == set()
+    # z-score slider reclamps the heatmap data
+    gui.zscore_clamp_slider.value = 1.0
+    assert gui.zscore_cap == 1.0
+    assert gui.cluster_heatmap_data().values.max() <= 1.0 + 1e-9
+
+
+def test_gui_displayname_editor_persists(full_gui):
+    gui, mcd, tmp_path = full_gui
+    mc = mcd.metaclusters.index[0]
+    gui.current_metacluster.value = mc
+    gui.current_metacluster_displayname.value = "myeloid"
+    assert mcd.get_metacluster_displayname(mc) == "myeloid"
+    out = pd.read_csv(tmp_path / "remap.csv")
+    assert "myeloid" in set(out["pixel_meta_cluster_rename"])
+    # dropdown labels refresh with the new name
+    assert ("myeloid", mc) in list(gui.current_metacluster.options)
+
+
+def test_gui_update_repaints_after_remap(full_gui):
+    gui, mcd, _ = full_gui
+    before = np.array(gui.im_cl.get_array(), dtype=float).copy()
+    gui.select_cluster(mcd.clusters.index[0])
+    gui.new_metacluster_from_selection()
+    gui._update_gui()
+    after = np.array(gui.im_cl.get_array(), dtype=float)
+    assert not np.array_equal(before, after)   # color labels re-rendered
+
+
+def test_gui_enable_debug_mode(full_gui):
+    gui, _, _ = full_gui
+    n = len(gui.gui.children)
+    gui.enable_debug_mode()
+    assert len(gui.gui.children) == n + 1
