@@ -1,0 +1,169 @@
+"""Granular pixel SOM/meta step behavior: untrained-object errors,
+overwrite/resume semantics, the temp-dir atomic swap, avg-file skip logic,
+and remap validation (reference `pixel_som_clustering.py:16-371`,
+`pixel_meta_clustering.py:24-537` behaviors the e2e chain doesn't isolate)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ark_tpu.io import feather_utils as feather
+from ark_tpu.phenotyping import (cluster_helpers, pixel_meta_clustering,
+                                 pixel_som_clustering)
+
+CHANNELS = ["chan0", "chan1", "chan2"]
+FOVS = ["fov0", "fov1"]
+
+
+@pytest.fixture()
+def pixel_base(tmp_path, rng):
+    """base_dir with subsetted + full pixel feathers and norm values."""
+    base = tmp_path
+    (base / "pixel_mat_subsetted").mkdir()
+    (base / "pixel_mat_data").mkdir()
+    for fov in FOVS:
+        df = pd.DataFrame(rng.random((150, 3)).astype(np.float32),
+                          columns=CHANNELS)
+        df["fov"] = fov
+        df["row_index"] = rng.integers(0, 32, 150)
+        df["column_index"] = rng.integers(0, 32, 150)
+        df["label"] = rng.integers(1, 8, 150)
+        feather.write_dataframe(
+            df.sample(50, random_state=1),
+            base / "pixel_mat_subsetted" / f"{fov}.feather")
+        feather.write_dataframe(df, base / "pixel_mat_data" / f"{fov}.feather")
+    feather.write_dataframe(
+        pd.DataFrame([[0.9] * 3], columns=CHANNELS),
+        base / "post_rowsum_chan_norm.feather")
+    return base
+
+
+def _train(base, **kw):
+    return pixel_som_clustering.train_pixel_som(
+        FOVS, CHANNELS, str(base), **kw)
+
+
+def test_train_pixel_som_validations(pixel_base):
+    with pytest.raises(ValueError):
+        pixel_som_clustering.train_pixel_som(["bogus_fov"], CHANNELS,
+                                             str(pixel_base))
+    with pytest.raises(ValueError):
+        pixel_som_clustering.train_pixel_som(FOVS, ["bogus_chan"],
+                                             str(pixel_base))
+    pysom = _train(pixel_base)
+    assert os.path.exists(pixel_base / "pixel_som_weights.feather")
+    assert pysom.weights.shape == (100, 3)
+
+
+def test_cluster_pixels_untrained_raises(pixel_base):
+    pysom = _train(pixel_base)
+    pysom.weights = None
+    with pytest.raises(ValueError, match="untrained"):
+        pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                            data_dir="pixel_mat_data")
+
+
+def test_cluster_pixels_atomic_swap_and_resume(pixel_base, capsys):
+    pysom = _train(pixel_base)
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    # temp dir swapped away; labels present
+    assert not os.path.exists(pixel_base / "pixel_mat_data_temp")
+    for fov in FOVS:
+        df = feather.read_dataframe(
+            pixel_base / "pixel_mat_data" / f"{fov}.feather")
+        assert "pixel_som_cluster" in df.columns
+        assert df["pixel_som_cluster"].between(1, 100).all()
+    # second run: nothing left to assign
+    capsys.readouterr()
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    assert "no more FOVs" in capsys.readouterr().out
+
+    # overwrite reassigns from scratch (and matches, same weights/seed)
+    before = feather.read_dataframe(
+        pixel_base / "pixel_mat_data" / "fov0.feather")
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data",
+                                        overwrite=True)
+    after = feather.read_dataframe(
+        pixel_base / "pixel_mat_data" / "fov0.feather")
+    np.testing.assert_array_equal(before["pixel_som_cluster"].values,
+                                  after["pixel_som_cluster"].values)
+
+
+def test_generate_som_avg_files_skip_and_overwrite(pixel_base, capsys):
+    pysom = _train(pixel_base)
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    pixel_som_clustering.generate_som_avg_files(
+        FOVS, CHANNELS, str(pixel_base), pysom, data_dir="pixel_mat_data")
+    avg_path = pixel_base / "pixel_channel_avg_som_cluster.csv"
+    assert avg_path.exists()
+    first = pd.read_csv(avg_path)
+    assert "count" in first.columns
+    # skip when present
+    capsys.readouterr()
+    pixel_som_clustering.generate_som_avg_files(
+        FOVS, CHANNELS, str(pixel_base), pysom, data_dir="pixel_mat_data")
+    assert "skipping" in capsys.readouterr().out
+    # untrained guard
+    pysom_untrained = _train(pixel_base)
+    pysom_untrained.weights = None
+    with pytest.raises(ValueError, match="untrained"):
+        pixel_som_clustering.generate_som_avg_files(
+            FOVS, CHANNELS, str(pixel_base), pysom_untrained,
+            data_dir="pixel_mat_data", overwrite=True)
+
+
+@pytest.fixture()
+def consensus_base(pixel_base, capsys):
+    pysom = _train(pixel_base)
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    pixel_som_clustering.generate_som_avg_files(
+        FOVS, CHANNELS, str(pixel_base), pysom, data_dir="pixel_mat_data")
+    pixel_cc = pixel_meta_clustering.pixel_consensus_cluster(
+        FOVS, CHANNELS, str(pixel_base), max_k=4,
+        data_dir="pixel_mat_data")
+    return pixel_base, pixel_cc
+
+
+def test_pixel_consensus_cluster_labels(consensus_base):
+    base, pixel_cc = consensus_base
+    for fov in FOVS:
+        df = feather.read_dataframe(base / "pixel_mat_data"
+                                    / f"{fov}.feather")
+        assert "pixel_meta_cluster" in df.columns
+        assert df["pixel_meta_cluster"].between(1, 4).all()
+    assert not os.path.exists(base / "pixel_mat_data_temp")
+
+
+def test_remap_validation_and_application(consensus_base):
+    base, pixel_cc = consensus_base
+    pixel_meta_clustering.generate_meta_avg_files(
+        FOVS, CHANNELS, str(base), pixel_cc, data_dir="pixel_mat_data")
+    som_avg = pd.read_csv(base / "pixel_channel_avg_som_cluster.csv")
+
+    # duplicate rename across different metaclusters must be rejected
+    bad = som_avg[["pixel_som_cluster", "pixel_meta_cluster"]].copy()
+    if bad["pixel_meta_cluster"].nunique() < 2:
+        pytest.skip("consensus collapsed to one metacluster")
+    bad["pixel_meta_cluster_rename"] = "same_name"
+    bad.to_csv(base / "bad_remap.csv", index=False)
+    with pytest.raises(ValueError):
+        pixel_meta_clustering.apply_pixel_meta_cluster_remapping(
+            FOVS, CHANNELS, str(base), "pixel_mat_data", "bad_remap.csv")
+
+    # a valid remap merges metaclusters and renames
+    good = som_avg[["pixel_som_cluster", "pixel_meta_cluster"]].copy()
+    good["pixel_meta_cluster"] = 1           # merge everything
+    good["pixel_meta_cluster_rename"] = "merged"
+    good.to_csv(base / "good_remap.csv", index=False)
+    pixel_meta_clustering.apply_pixel_meta_cluster_remapping(
+        FOVS, CHANNELS, str(base), "pixel_mat_data", "good_remap.csv")
+    df = feather.read_dataframe(base / "pixel_mat_data" / "fov0.feather")
+    assert (df["pixel_meta_cluster"] == 1).all()
+    assert (df["pixel_meta_cluster_rename"] == "merged").all()
