@@ -60,6 +60,28 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42):
     img_stack = jnp.stack(imgs)          # (F, H, W, C) device-resident
     label_stack = jnp.stack(labels)
 
+    # ---- stage -1: Mesmer segmentation forward (semantic heads for every
+    # FOV; the host watershed postprocess is measured separately in PERF.md)
+    from ark_tpu.models import unet
+    model, variables = unet.init_mesmer(input_shape=(1, size, size, 2))
+    mesmer_in = img_stack[..., :2]            # (F, H, W, 2) nuclear+membrane
+    mes_batch = 2
+
+    @jax.jit
+    def mesmer_all(stack):
+        def one(_, batch):
+            out = model.apply(variables, batch, train=False)
+            return None, (out["whole_cell_inner_distance"][..., 0],
+                          out["whole_cell_pixelwise"][..., 0])
+        batches = stack.reshape(n_fovs // mes_batch, mes_batch,
+                                size, size, 2)
+        _, outs = jax.lax.scan(one, None, batches)
+        return outs
+
+    jax.block_until_ready(mesmer_all(mesmer_in * 0.999))  # warm
+    with timer.stage("mesmer_forward", items=n_fovs, unit="FOVs"):
+        mes_out = jax.block_until_ready(mesmer_all(mesmer_in))
+
     # ---- stage 0: cohort channel percentiles (one device call, scan over FOVs)
     @jax.jit
     def chan_pct_all(stack):
