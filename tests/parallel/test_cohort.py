@@ -88,3 +88,84 @@ def test_prefetch_loader_propagates_errors():
     loader = PrefetchLoader([0, 1, 2, 3], load, buffer_size=2)
     with pytest.raises(RuntimeError, match="corrupt file"):
         list(loader)
+
+
+# ---------------------------------------------------------------------------
+# Round-2: sharded-vs-serial numerical equivalence + edge shapes
+# ---------------------------------------------------------------------------
+
+def test_run_pixel_cohort_equals_host_oracle(rng):
+    """The fused sharded pipeline == an explicit scipy/NumPy re-derivation
+    (blur -> threshold -> rownorm -> post-norm -> brute-force BMU)."""
+    import scipy.ndimage as ndi
+
+    b, h, w, c = 3, 16, 16, 4
+    imgs = rng.random((b, h, w, c)).astype(np.float32)
+    channel_norms = rng.uniform(0.5, 1.5, c).astype(np.float32)
+    post_norms = rng.uniform(0.5, 1.5, c).astype(np.float32)
+    weights = rng.random((25, c)).astype(np.float32)
+    thresh = 1.0
+
+    out = cohort.run_pixel_cohort(imgs, channel_norms, thresh, post_norms,
+                                  weights, mesh=mesh_utils.get_mesh())
+    for i in range(b):
+        x = imgs[i] / channel_norms
+        x = np.stack([ndi.gaussian_filter(x[..., k], 2) for k in range(c)],
+                     axis=-1)
+        mat = x.reshape(-1, c)
+        rowsums = mat.sum(1)
+        valid = (rowsums > thresh) & (mat != 0).any(1)
+        norm = mat / np.where(rowsums == 0, 1.0, rowsums)[:, None]
+        norm = norm / post_norms
+        np.testing.assert_array_equal(out["valid"][i], valid)
+        np.testing.assert_allclose(out["pixel_mat"][i], norm, rtol=2e-3,
+                                   atol=2e-5)
+        d = ((norm[:, None, :] - weights[None]) ** 2).sum(-1)
+        bmu = d.argmin(1) + 1
+        got = out["som_clusters"][i]
+        agree = (got[valid] == bmu[valid]).mean()
+        assert agree > 0.999  # f32 matmul-vs-direct distance tie-offs only
+        assert (got[~valid] == 0).all()
+
+
+def test_map_over_fovs_single_fov_and_exact_multiple(rng):
+    mesh = mesh_utils.get_mesh()
+    n_dev = mesh.devices.size
+
+    def double(x):
+        return x * 2.0
+
+    one = rng.random((1, 4, 4)).astype(np.float32)
+    out = cohort.map_over_fovs(double, one, mesh)
+    np.testing.assert_allclose(out, one * 2)
+
+    exact = rng.random((n_dev * 2, 4, 4)).astype(np.float32)
+    out2 = cohort.map_over_fovs(double, exact, mesh)
+    assert out2.shape == exact.shape
+    np.testing.assert_allclose(out2, exact * 2)
+
+
+def test_map_over_fovs_pytree_outputs(rng):
+    mesh = mesh_utils.get_mesh()
+
+    def stats(x):
+        return {"mean": x.mean(), "max": x.max()}
+
+    batch = rng.random((5, 8, 8)).astype(np.float32)
+    out = cohort.map_over_fovs(stats, batch, mesh)
+    np.testing.assert_allclose(out["mean"], batch.mean(axis=(1, 2)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(out["max"], batch.max(axis=(1, 2)))
+
+
+def test_cohort_channel_percentiles_matches_numpy(rng):
+    imgs = rng.random((4, 12, 12, 3)).astype(np.float32)
+    imgs[imgs < 0.2] = 0.0   # real zeros to exercise the nonzero masking
+    got = cohort.cohort_channel_percentiles(imgs, 0.9,
+                                            mesh=mesh_utils.get_mesh())
+    want = []
+    for i in range(4):
+        flat = imgs[i].reshape(-1, 3)
+        want.append([np.quantile(flat[:, k][flat[:, k] > 0], 0.9)
+                     for k in range(3)])
+    np.testing.assert_allclose(got, np.mean(want, axis=0), rtol=1e-4)
