@@ -104,8 +104,13 @@ class MetaClusterData:
         self.mapping.loc[cluster, "metacluster"] = metacluster
         self._metacluster_cache = None
 
+    @property
+    def marker_order(self):
+        """Current marker display order as original column indexes."""
+        return list(self._marker_order)
+
     def set_marker_order(self, new_indexes):
-        self._marker_order = new_indexes
+        self._marker_order = list(new_indexes)
         self._metacluster_cache = None
 
     def save_output_mapping(self):

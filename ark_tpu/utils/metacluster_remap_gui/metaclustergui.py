@@ -268,12 +268,20 @@ class MetaClusterGui:
         for ax in (ax_01, ax_02, ax_03, ax_ms):
             ax.axis("off")
 
-        # dendrogram pane (ward linkage on marker cosine similarity)
-        dendrogram(self.mcd.linkage_matrix, ax=ax_cd, orientation="left",
-                   no_labels=True, color_threshold=0)
+        # dendrogram pane (ward linkage on marker cosine similarity); its
+        # leaf order becomes the marker row order of both heatmaps
+        # (reference metaclustergui.py:202-209)
+        orig_fixed_names = list(self.mcd.fixed_width_marker_names)
+        self.ddg = dendrogram(self.mcd.linkage_matrix, ax=ax_cd,
+                              orientation="left", no_labels=True,
+                              color_threshold=0)
+        self.mcd.set_marker_order(list(self.ddg["leaves"])[::-1])
+        self._heatmaps_stale = True
         ax_cd.set_xticks([])
         ax_cd.set_yticks(np.arange(self.mcd.marker_count) * 10 + 5)
-        ax_cd.set_yticklabels(self.mcd.fixed_width_marker_names, fontsize=7)
+        # scipy places leaf k of `leaves` at y = 10k+5 (orientation="left")
+        ax_cd.set_yticklabels(
+            [orig_fixed_names[i] for i in self.ddg["leaves"]], fontsize=7)
 
         nan_c = np.full((self.mcd.marker_count, self.mcd.cluster_count),
                         np.nan)
@@ -285,8 +293,10 @@ class MetaClusterGui:
         self.im_m = ax_m.imshow(nan_m, aspect="auto",
                                 cmap=self.heatmapcolors,
                                 norm=self.zscore_norm, picker=True)
-        ax_c.set_yticks(np.arange(self.mcd.marker_count))
-        ax_c.set_yticklabels(self.mcd.marker_names, fontsize=7)
+        ax_c.set_yticks(np.arange(self.mcd.marker_count) + 0.5)
+        # the (0, n, 0, m) extent draws data row 0 at the TOP, so tick
+        # labels (bottom-up) read the marker list reversed (reference :209)
+        ax_c.set_yticklabels(list(self.mcd.marker_names)[::-1], fontsize=7)
         ax_c.set_xticks([])
         ax_m.set_yticks([])
         ax_m.set_xticks([])
@@ -325,6 +335,13 @@ class MetaClusterGui:
 
         self._canvas_cid = self._figure.canvas.mpl_connect(
             "pick_event", self.onpick)
+        # drag a marker row (press on one row of the cluster heatmap,
+        # release on another) to reorder the heatmap markers
+        self._drag_marker_row = None
+        self._figure.canvas.mpl_connect(
+            "button_press_event", self._on_marker_press)
+        self._figure.canvas.mpl_connect(
+            "button_release_event", self._on_marker_release)
 
     # pick-event routing (reference :516-567) ----------------------------
     def onpick(self, e):
@@ -365,6 +382,37 @@ class MetaClusterGui:
             self._set_current_metacluster(metacluster)
             self.remap_current_selection(metacluster)
 
+    # marker drag-to-reorder ---------------------------------------------
+    def _marker_row_at(self, e):
+        """Marker row index under a mouse event on the cluster heatmap,
+        or None. Display y counts up from the bottom while data row 0 is
+        drawn at the top, hence the flip."""
+        if getattr(e, "inaxes", None) is not self.ax_c or e.ydata is None:
+            return None
+        row = self.mcd.marker_count - 1 - int(e.ydata)
+        if 0 <= row < self.mcd.marker_count:
+            return row
+        return None
+
+    def _on_marker_press(self, e):
+        self._drag_marker_row = self._marker_row_at(e)
+
+    def _on_marker_release(self, e):
+        src, dst = self._drag_marker_row, self._marker_row_at(e)
+        self._drag_marker_row = None
+        if src is not None and dst is not None and src != dst:
+            self.move_marker(src, dst)
+            self.update_gui()
+
+    def move_marker(self, src_row, dst_row):
+        """Move the marker displayed at heatmap row `src_row` so it is
+        displayed at row `dst_row` (rows counted from the top, matching
+        what the user sees). Rewrites the state model's marker order."""
+        order = list(self.mcd.marker_order)
+        order.insert(dst_row, order.pop(src_row))
+        self.mcd.set_marker_order(order)
+        self._heatmaps_stale = True
+
     # repaint (reference update_gui :374-440) ----------------------------
     def _update_gui(self):
         if self._figure is None:
@@ -380,6 +428,8 @@ class MetaClusterGui:
         self.im_c.set_data(zc.values)
         self.im_c.set_extent((0, self.mcd.cluster_count, 0,
                               self.mcd.marker_count))
+        self.ax_c.set_yticklabels(list(self.mcd.marker_names)[::-1],
+                                  fontsize=7)
         zm = self._preplot(self.mcd.metaclusters)
         self.im_m.set_data(zm.values)
         self.im_m.set_extent((0, self.mcd.metacluster_count, 0,

@@ -223,3 +223,87 @@ def test_gui_enable_debug_mode(full_gui):
     n = len(gui.gui.children)
     gui.enable_debug_mode()
     assert len(gui.gui.children) == n + 1
+
+
+# ---------------------------------------------------------------------------
+# Marker ordering: dendrogram leaf order + drag-to-reorder (reference
+# `metaclustergui.py:202-209` applies ddg['leaves'][::-1] as marker order).
+# ---------------------------------------------------------------------------
+
+class _FakeMouse:
+    """Stand-in for a matplotlib button_press/release MouseEvent."""
+
+    def __init__(self, inaxes, ydata):
+        self.inaxes = inaxes
+        self.ydata = ydata
+        self.xdata = 1.0
+
+
+def test_gui_applies_dendrogram_leaf_order(full_gui):
+    gui, mcd, _ = full_gui
+    assert gui.ddg["leaves"], "dendrogram did not report leaves"
+    assert mcd.marker_order == list(gui.ddg["leaves"])[::-1]
+    # marker_names follows the applied order, not the raw column order
+    raw = ["m1", "m2", "m3"]
+    assert list(mcd.marker_names) == [raw[i] for i in mcd.marker_order]
+    # and the heatmap repaints with the reordered rows
+    gui._heatmaps_stale = True
+    gui._update_gui()
+    assert gui.im_c.get_array().shape == (mcd.marker_count,
+                                          mcd.cluster_count)
+
+
+def test_move_marker_reorders_state_and_tables(full_gui):
+    gui, mcd, _ = full_gui
+    before = mcd.marker_order
+    names_before = list(mcd.marker_names)
+    gui.move_marker(0, 2)               # top row moves to the bottom
+    after = mcd.marker_order
+    assert after == [before[1], before[2], before[0]]
+    assert list(mcd.marker_names) == \
+        [names_before[1], names_before[2], names_before[0]]
+    # metacluster averages follow the same column order
+    assert list(mcd.metaclusters.columns) == list(mcd.marker_names)
+
+
+def test_drag_to_reorder_markers(full_gui):
+    gui, mcd, _ = full_gui
+    names_before = list(mcd.marker_names)
+    m = mcd.marker_count
+    # press on the TOP display row (high ydata) of the cluster heatmap,
+    # release on the BOTTOM display row (ydata just above 0)
+    gui._on_marker_press(_FakeMouse(gui.ax_c, m - 0.5))
+    assert gui._drag_marker_row == 0
+    gui._on_marker_release(_FakeMouse(gui.ax_c, 0.5))
+    assert gui._drag_marker_row is None
+    assert list(mcd.marker_names) == names_before[1:] + names_before[:1]
+
+
+def test_drag_outside_heatmap_is_ignored(full_gui):
+    gui, mcd, _ = full_gui
+    order_before = mcd.marker_order
+    # press outside the cluster heatmap axes: no drag starts
+    gui._on_marker_press(_FakeMouse(gui.ax_m, 1.5))
+    assert gui._drag_marker_row is None
+    gui._on_marker_release(_FakeMouse(gui.ax_c, 0.5))
+    assert mcd.marker_order == order_before
+    # press+release on the SAME row: no-op
+    gui._on_marker_press(_FakeMouse(gui.ax_c, 0.5))
+    gui._on_marker_release(_FakeMouse(gui.ax_c, 0.5))
+    assert mcd.marker_order == order_before
+    # release off-axes cancels the drag
+    gui._on_marker_press(_FakeMouse(gui.ax_c, 0.5))
+    gui._on_marker_release(_FakeMouse(None, None))
+    assert mcd.marker_order == order_before
+
+
+def test_marker_order_survives_remap_and_rename(full_gui):
+    gui, mcd, tmp_path = full_gui
+    gui.move_marker(2, 0)
+    order = mcd.marker_order
+    gui.select_cluster(mcd.clusters.index[0])
+    mc = gui.new_metacluster_from_selection()
+    gui.rename_metacluster(mc, "dragged")
+    assert mcd.marker_order == order
+    gui._update_gui()                    # repaint with new order + mapping
+    assert list(mcd.metaclusters.columns) == list(mcd.marker_names)
