@@ -29,8 +29,13 @@ class _Debouncer:
         if remaining <= 0:
             self._fire(args, kwargs)
             return
-        self._pending = asyncio.ensure_future(
-            self._fire_later(remaining, args, kwargs))
+        try:
+            self._pending = asyncio.ensure_future(
+                self._fire_later(remaining, args, kwargs))
+        except RuntimeError:
+            # no running event loop (plain script, not ipywidgets/Jupyter):
+            # degrade to firing immediately rather than dropping the call
+            self._fire(args, kwargs)
 
     def _fire(self, args, kwargs):
         self._last_fired = time.monotonic()
@@ -46,5 +51,12 @@ def throttle(wait: float):
     delivering the most recent call's arguments."""
     def decorator(fn):
         debouncer = _Debouncer(fn, wait)
-        return functools.wraps(fn)(debouncer.__call__)
+
+        # wraps() must target a plain function — attributes cannot be
+        # assigned on the bound `debouncer.__call__` method
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            return debouncer(*args, **kwargs)
+
+        return wrapper
     return decorator

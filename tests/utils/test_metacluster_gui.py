@@ -307,3 +307,14 @@ def test_marker_order_survives_remap_and_rename(full_gui):
     assert mcd.marker_order == order
     gui._update_gui()                    # repaint with new order + mapping
     assert list(mcd.metaclusters.columns) == list(mcd.marker_names)
+
+
+def test_gui_constructs_with_default_throttle(som_avg_csv, tmp_path):
+    # regression: throttle() used to crash at decoration time
+    # (functools.wraps on a bound method), breaking MetaClusterGui(mcd)
+    mcd = metaclusterdata_from_files(som_avg_csv)
+    mcd.output_mapping_filename = str(tmp_path / "remap.csv")
+    gui = MetaClusterGui(mcd)
+    assert gui._figure is not None
+    gui.select_cluster(mcd.clusters.index[0])
+    gui.update_gui()          # throttled repaint path
