@@ -115,3 +115,20 @@ def test_label_components_degenerate():
     diag = np.eye(4, dtype=bool)
     out = ws.label_components(diag)
     assert out.max() == 4
+
+
+def test_som_train_sharded_uneven_and_tiny_inputs(rng):
+    """The sharded trainer must accept row counts that don't divide the
+    mesh (padding path) and datasets smaller than the device count."""
+    import jax
+    from ark_tpu.parallel.mesh import get_mesh
+    mesh = get_mesh()
+    for n, c in [(1001, 16), (5, 16), (3, 16), (17, 3)]:
+        x = rng.random((n, c)).astype(np.float32)
+        w = som_ops.som_train_sharded(x, mesh, num_passes=1, seed=1)
+        w = np.asarray(w)
+        assert w.shape == (100, c)
+        assert np.isfinite(w).all(), (n, c)
+        # trained weights must live inside the data's bounding box (batch
+        # Kohonen updates are convex combinations of data rows)
+        assert w.min() >= x.min() - 1e-5 and w.max() <= x.max() + 1e-5

@@ -235,3 +235,36 @@ def test_find_fovs_missing_col_temp_dir_lifecycle(tmp_path):
     missing = pixel_cluster_utils.find_fovs_missing_col(
         str(tmp_path), "pixel_mat_data", "pixel_som_cluster")
     assert missing == ["fov1"]
+
+
+def test_plot_hist_thresholds_builds_stacked_axes(rng):
+    """plot_hist_thresholds (reference post_cluster_utils.py:17-60): one
+    histogram panel per population, range capped at the first population's
+    percentile, optional threshold line; invalid inputs rejected."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    table = pd.DataFrame({
+        "cell_meta_cluster": rng.choice(["T", "B", "DC"], 300),
+        "CD45": rng.gamma(2.0, 1.5, 300)})
+    plt.close("all")
+    post_cluster_utils.plot_hist_thresholds(
+        table, populations=["T", "B"], marker="CD45", threshold=1.0)
+    fig = plt.gcf()
+    assert len(fig.axes) == 2
+    assert fig.axes[0].get_title() == "Distribution of CD45 in T"
+    # threshold line drawn on each panel
+    assert any(line.get_xdata()[0] == 1.0 for line in fig.axes[0].lines)
+    # x-range capped at the 99.9th percentile of the FIRST population
+    cap = np.quantile(table.loc[table.cell_meta_cluster == "T",
+                                "CD45"].values, 0.999)
+    assert fig.axes[0].patches[-1].get_x() <= cap + 1e-9
+
+    with pytest.raises(ValueError, match="Invalid population"):
+        post_cluster_utils.plot_hist_thresholds(
+            table, populations=["NK"], marker="CD45")
+    with pytest.raises(ValueError, match="as a column"):
+        post_cluster_utils.plot_hist_thresholds(
+            table, populations=["T"], marker="CD3")
+    plt.close("all")
