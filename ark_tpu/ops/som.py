@@ -327,14 +327,11 @@ def _schedule_batch(total: int, batch_size: Optional[int]) -> int:
                        8, 1 << 16))
 
 
-def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
-              lr_start: float = 0.05, lr_end: float = 0.01, seed: int = 42,
-              batch_size: Optional[int] = None,
-              radius_start: Optional[float] = None,
-              weights_init: Optional[np.ndarray] = None) -> np.ndarray:
-    """Train a SOM, TPU batch-parallel (defaults mirror `cluster_helpers.py:
-    54-56` / `pixel_som_clustering.py:19-21`: 10×10 grid, 1 pass, lr .05→.01,
-    seed 42). Returns (xdim*ydim, C) float32 weights."""
+def _prepare_train(data, xdim, ydim, num_passes, seed, batch_size,
+                   radius_start, weights_init):
+    """Host-side training prep shared by som_train / som_train_and_map:
+    seeded init + visiting order, pow2 data padding, schedule constants.
+    Returns (data_padded, w0, order, gdist, bs, r0, n)."""
     # device-resident inputs stay on device (only index math runs on host);
     # host inputs pay exactly one transfer
     on_device = isinstance(data, jax.Array)
@@ -342,7 +339,7 @@ def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
         data = data.astype(jnp.float32)
     else:
         data = np.asarray(data, np.float32)
-    n, c = data.shape
+    n = data.shape[0]
     if n == 0:
         raise ValueError("cannot train SOM on empty data")
     k = xdim * ydim
@@ -366,7 +363,6 @@ def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
     # lr/radius schedule; the batch absorbs the data size (wrapped visiting
     # order for small inputs — see _schedule_batch)
     bs = _schedule_batch(total, batch_size)
-    n_steps = MAX_TRAIN_STEPS
     # seeded shuffled visiting order, wrapped to the fixed scan extent; data
     # rows are pow2-padded so cohort sizes reuse few compiled executables
     perm = host_rng.permutation(n)
@@ -379,11 +375,64 @@ def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
     else:
         data_padded = jnp.asarray(np.pad(data, ((0, data_pad - n), (0, 0))))
 
-    r0 = radius_start if radius_start is not None else default_radius_start(xdim, ydim)
+    r0 = radius_start if radius_start is not None \
+        else default_radius_start(xdim, ydim)
     gdist = jnp.asarray(grid_distances(xdim, ydim))
-    w = _train_jit(data_padded, w0, order, gdist, jnp.int32(n_steps), bs,
+    return data_padded, w0, order, gdist, bs, r0, n
+
+
+def som_train(data, xdim: int = 10, ydim: int = 10, num_passes: int = 1,
+              lr_start: float = 0.05, lr_end: float = 0.01, seed: int = 42,
+              batch_size: Optional[int] = None,
+              radius_start: Optional[float] = None,
+              weights_init: Optional[np.ndarray] = None) -> np.ndarray:
+    """Train a SOM, TPU batch-parallel (defaults mirror `cluster_helpers.py:
+    54-56` / `pixel_som_clustering.py:19-21`: 10×10 grid, 1 pass, lr .05→.01,
+    seed 42). Returns (xdim*ydim, C) float32 weights."""
+    data_padded, w0, order, gdist, bs, r0, _ = _prepare_train(
+        data, xdim, ydim, num_passes, seed, batch_size, radius_start,
+        weights_init)
+    w = _train_jit(data_padded, w0, order, gdist,
+                   jnp.int32(MAX_TRAIN_STEPS), bs,
                    float(lr_start), float(lr_end), float(r0))
     return np.asarray(w)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "batch_size", "lr_start", "lr_end", "r_start"))
+def _train_map_jit(data, w0, order, gdist, n_steps, batch_size, lr_start,
+                   lr_end, r_start):
+    w = _train_scan(data, w0, order, gdist, n_steps, batch_size,
+                    lr_start, lr_end, r_start)
+    idx, dist = bmu_xla(w, data)
+    return w, idx, dist
+
+
+def som_train_and_map(data, xdim: int = 10, ydim: int = 10,
+                      num_passes: int = 1, lr_start: float = 0.05,
+                      lr_end: float = 0.01, seed: int = 42,
+                      batch_size: Optional[int] = None,
+                      radius_start: Optional[float] = None,
+                      weights_init: Optional[np.ndarray] = None):
+    """Train a SOM and assign every training row its BMU in ONE jitted
+    program — a single dispatch+readback where `som_train` + `som_map` pay
+    two. On this development attach each dispatch costs ~30-300 ms, which
+    dominates trained-SOM throughput for table-sized inputs (PERF.md), so
+    cell-table flows that train and map the same matrix should prefer this.
+
+    Bitwise-identical to `som_train(...)` followed by
+    `som_map(weights, data, impl="xla")` (same seeded init/visiting order).
+    Returns (weights (K, C) f32, clusters (N,) 1-indexed, distances (N,)).
+    """
+    data_padded, w0, order, gdist, bs, r0, n = _prepare_train(
+        data, xdim, ydim, num_passes, seed, batch_size, radius_start,
+        weights_init)
+    w, idx, dist = _train_map_jit(data_padded, w0, order, gdist,
+                                  jnp.int32(MAX_TRAIN_STEPS), bs,
+                                  float(lr_start), float(lr_end), float(r0))
+    # padded rows (zeros) are mapped too, then dropped here: keeping the map
+    # inside the one compiled program beats a dynamic-shape slice on device
+    return np.asarray(w), np.asarray(idx[:n]) + 1, np.asarray(dist[:n])
 
 
 def som_train_sharded(data, mesh, data_axis: str = "fov", xdim: int = 10,

@@ -145,3 +145,30 @@ def test_som_train_sharded_full_loop(rng):
     for i in range(4):
         for j in range(i + 1, 4):
             assert not (node_sets[i] & node_sets[j])
+
+
+def test_som_train_and_map_fused_matches_two_call_path(rng):
+    """The fused single-dispatch trainer+mapper must be bitwise identical
+    to som_train followed by som_map on the same data."""
+    data = rng.random((1000, 16)).astype(np.float32)
+    w_fused, clusters_fused, dist_fused = som.som_train_and_map(data, seed=3)
+    w_ref = som.som_train(data, seed=3)
+    np.testing.assert_array_equal(w_fused, w_ref)
+    clusters_ref, dist_ref = som.som_map(w_ref, data, impl="xla")
+    np.testing.assert_array_equal(clusters_fused, clusters_ref)
+    np.testing.assert_array_equal(dist_fused, dist_ref)
+    assert clusters_fused.shape == (1000,)
+    assert clusters_fused.min() >= 1 and clusters_fused.max() <= 100
+
+
+def test_som_train_and_map_device_resident_and_options(rng):
+    import jax.numpy as jnp
+    data = jnp.asarray(rng.random((300, 5)).astype(np.float32))
+    w, clusters, dist = som.som_train_and_map(
+        data, xdim=4, ydim=3, num_passes=2, seed=9, batch_size=64)
+    assert w.shape == (12, 5)
+    assert clusters.shape == (300,) and dist.shape == (300,)
+    assert np.isfinite(dist).all()
+    w_ref = som.som_train(data, xdim=4, ydim=3, num_passes=2, seed=9,
+                          batch_size=64)
+    np.testing.assert_array_equal(w, w_ref)
