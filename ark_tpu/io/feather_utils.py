@@ -13,3 +13,13 @@ def write_dataframe(df: pd.DataFrame, path, compression: str = "uncompressed"):
 
 def read_dataframe(path) -> pd.DataFrame:
     return _pa_feather.read_feather(str(path))
+
+
+def read_column_names(path) -> list:
+    """Column names of a feather file without reading its data (the resume
+    detector schema-checks every per-FOV file; a full read per FOV would
+    make restart cost scale with cohort size)."""
+    import pyarrow.ipc as _ipc
+
+    with _ipc.open_file(str(path)) as reader:
+        return reader.schema.names

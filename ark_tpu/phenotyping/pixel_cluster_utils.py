@@ -203,28 +203,68 @@ def compute_pixel_cluster_channel_avg(fovs, channels, base_dir,
     return totals
 
 
+def commit_temp_dir(data_path: str) -> None:
+    """Atomically commit `<data_path>_temp` over `data_path`, losslessly.
+
+    The reference's bare `rmtree(dir); move(temp, dir)`
+    (`pixel_som_clustering.py:287-289`) silently DELETES any feather that
+    never made it into the temp dir — unrequested FOVs when the caller
+    passed a subset, and corrupted FOVs the stage skipped. Here those
+    survivors are moved into the temp dir first, so the swap can only add
+    or update files, never drop them.
+    """
+    import shutil
+
+    def _ignore_extended_attributes(func, filename, exc):
+        # tolerate macOS extended-attribute ('._*') files during rmtree
+        if not (func is os.unlink
+                and os.path.basename(filename).startswith("._")):
+            raise
+
+    temp_path = data_path + "_temp"
+    for f in io_utils.list_files(data_path, substrs=".feather"):
+        if not os.path.exists(os.path.join(temp_path, f)):
+            shutil.move(os.path.join(data_path, f),
+                        os.path.join(temp_path, f))
+    shutil.rmtree(data_path, onexc=_ignore_extended_attributes)
+    shutil.move(temp_path, data_path)
+
+
+def _file_missing_col(path: str, missing_col: str) -> bool:
+    """True if the feather at `path` lacks `missing_col` OR is unreadable
+    (corrupted files are surfaced to the stage, which skips + reports)."""
+    try:
+        return missing_col not in feather.read_column_names(path)
+    except (OSError, IOError, Exception) as e:
+        if type(e).__name__ not in ("ArrowInvalid", "OSError", "IOError"):
+            raise
+        return True
+
+
 def find_fovs_missing_col(base_dir, data_dir, missing_col) -> List[str]:
     """FOVs in `data_dir` still lacking `missing_col`; the `<data_dir>_temp`
-    directory marks an in-progress stage (reference :419-478)."""
+    directory marks an in-progress stage (reference :419-478).
+
+    Unlike the reference (which schema-samples ONE file and assumes the
+    whole directory matches), every file is schema-checked — the lossless
+    `commit_temp_dir` swap permits mixed per-file states, e.g. after a
+    subset-of-FOVs run. Schema reads don't touch the data, so this stays
+    O(cohort) in file opens, not bytes."""
     data_path = os.path.join(base_dir, data_dir)
     temp_path = os.path.join(base_dir, data_dir + "_temp")
     io_utils.validate_paths(data_path)
 
     if not os.path.exists(temp_path):
         fov_files = io_utils.list_files(data_path, substrs=".feather")
-        fov_data = None
-        for f in fov_files:
-            try:
-                fov_data = feather.read_dataframe(os.path.join(data_path, f))
-                break
-            except (OSError, IOError, Exception) as e:
-                if type(e).__name__ not in ("ArrowInvalid", "OSError", "IOError"):
-                    raise
-                continue
-        if fov_data is None or missing_col not in fov_data.columns.values:
+        missing = [f for f in fov_files
+                   if _file_missing_col(os.path.join(data_path, f),
+                                        missing_col)]
+        if missing:
             os.mkdir(temp_path)
-            return io_utils.remove_file_extensions(fov_files)
+            return io_utils.remove_file_extensions(missing)
         return []
-    data_files = set(io_utils.list_files(data_path, substrs=".feather"))
+    data_files = set(
+        f for f in io_utils.list_files(data_path, substrs=".feather")
+        if _file_missing_col(os.path.join(data_path, f), missing_col))
     temp_files = set(io_utils.list_files(temp_path, substrs=".feather"))
     return io_utils.remove_file_extensions(list(data_files - temp_files))

@@ -9,7 +9,7 @@ atomically swaps, preserving the reference's resume semantics."""
 from __future__ import annotations
 
 import os
-from shutil import move, rmtree
+from shutil import rmtree
 from typing import Tuple
 
 import numpy as np
@@ -49,6 +49,10 @@ def pixel_consensus_cluster(fovs, channels, base_dir, max_k=20, cap=3,
 
     if overwrite:
         print("Overwrite flag set, reassigning meta cluster labels to all FOVs")
+        # tolerate a stale _temp left by a run killed mid-overwrite (the
+        # reference's bare mkdir crashes on it); overwrite restarts cleanly
+        if os.path.exists(pixel_data_path + "_temp"):
+            rmtree(pixel_data_path + "_temp")
         os.mkdir(pixel_data_path + "_temp")
         fovs_list = io_utils.remove_file_extensions(
             io_utils.list_files(pixel_data_path, substrs=".feather"))
@@ -83,8 +87,7 @@ def pixel_consensus_cluster(fovs, channels, base_dir, max_k=20, cap=3,
         if fovs_processed % 10 == 0 or fovs_processed == len(fovs_list):
             print(f"Processed {fovs_processed} fovs")
 
-    rmtree(pixel_data_path)
-    move(pixel_data_path + "_temp", pixel_data_path)
+    pixel_cluster_utils.commit_temp_dir(pixel_data_path)
     return pixel_cc
 
 
@@ -183,8 +186,7 @@ def apply_pixel_meta_cluster_remapping(fovs, channels, base_dir,
         if fovs_processed % 10 == 0 or fovs_processed == len(fov_list):
             print(f"Processed {fovs_processed} fovs")
 
-    rmtree(pixel_data_path)
-    move(pixel_data_path + "_temp", pixel_data_path)
+    pixel_cluster_utils.commit_temp_dir(pixel_data_path)
 
 
 def generate_remap_avg_files(fovs, channels, base_dir, pixel_data_dir,

@@ -9,7 +9,7 @@ API-compat no-ops (device throughput replaces the 5-process CPU pool)."""
 from __future__ import annotations
 
 import os
-from shutil import move, rmtree
+from shutil import rmtree
 from typing import Any, Callable, Tuple
 
 from ark_tpu.io import feather_utils as feather
@@ -110,6 +110,12 @@ def cluster_pixels(fovs, base_dir, pixel_pysom, data_dir="pixel_mat_data",
     if overwrite:
         print("Overwrite flag set, reassigning SOM cluster labels to all FOVs")
         pixel_pysom.som_clusters_seen = set()
+        # a stale _temp from a run killed mid-overwrite would make the
+        # reference's bare mkdir crash (:223); wipe it — overwrite means a
+        # fresh assignment, so partial results from the dead run are garbage
+        if os.path.exists(data_path + "_temp"):
+            rmtree(data_path + "_temp",
+                   onexc=_ignore_extended_attributes)
         os.mkdir(data_path + "_temp")
         fovs_list = io_utils.remove_file_extensions(
             io_utils.list_files(data_path, substrs=".feather"))
@@ -136,9 +142,8 @@ def cluster_pixels(fovs, base_dir, pixel_pysom, data_dir="pixel_mat_data",
         if fovs_processed % 10 == 0 or fovs_processed == len(fovs_list):
             print(f"Processed {fovs_processed} fovs")
 
-    # atomic stage commit
-    rmtree(data_path, onexc=_ignore_extended_attributes)
-    move(data_path + "_temp", data_path)
+    # atomic lossless stage commit (unprocessed/corrupted FOV files survive)
+    pixel_cluster_utils.commit_temp_dir(data_path)
 
 
 def _ignore_extended_attributes(func: Callable, filename: str, exc: Any):

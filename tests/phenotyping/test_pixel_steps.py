@@ -167,3 +167,138 @@ def test_remap_validation_and_application(consensus_base):
     df = feather.read_dataframe(base / "pixel_mat_data" / "fov0.feather")
     assert (df["pixel_meta_cluster"] == 1).all()
     assert (df["pixel_meta_cluster_rename"] == "merged").all()
+
+
+def test_overwrite_recovers_from_stale_temp_dir(pixel_base):
+    """A run killed mid-overwrite leaves `<data_dir>_temp` behind; retrying
+    with overwrite=True must wipe it and complete (the reference's bare
+    mkdir crashes with FileExistsError here, pixel_som_clustering.py:223)."""
+    pysom = _train(pixel_base)
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    # simulate the dead run: stale temp with one partial (garbage) feather
+    temp = pixel_base / "pixel_mat_data_temp"
+    temp.mkdir()
+    (temp / "fov0.feather").write_bytes(b"partial write from killed run")
+
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data",
+                                        overwrite=True)
+    assert not temp.exists()
+    for fov in FOVS:
+        df = feather.read_dataframe(
+            pixel_base / "pixel_mat_data" / f"{fov}.feather")
+        assert "pixel_som_cluster" in df.columns
+        assert df["pixel_som_cluster"].between(1, 100).all()
+
+
+def test_meta_overwrite_recovers_from_stale_temp_dir(pixel_base):
+    pysom = _train(pixel_base)
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    pixel_som_clustering.generate_som_avg_files(
+        FOVS, CHANNELS, str(pixel_base), pysom, data_dir="pixel_mat_data")
+    pixel_meta_clustering.pixel_consensus_cluster(
+        FOVS, CHANNELS, str(pixel_base), max_k=3, data_dir="pixel_mat_data")
+
+    temp = pixel_base / "pixel_mat_data_temp"
+    temp.mkdir()
+    (temp / "fov1.feather").write_bytes(b"\x00\x01 killed mid-write")
+    pixel_meta_clustering.pixel_consensus_cluster(
+        FOVS, CHANNELS, str(pixel_base), max_k=3, data_dir="pixel_mat_data",
+        overwrite=True)
+    assert not temp.exists()
+    for fov in FOVS:
+        df = feather.read_dataframe(
+            pixel_base / "pixel_mat_data" / f"{fov}.feather")
+        assert "pixel_meta_cluster" in df.columns
+
+
+def test_interrupted_assignment_resumes_from_temp_marker(pixel_base):
+    """Non-overwrite crash recovery: FOVs already written into the temp dir
+    by a dead run are kept; only the remainder is processed, then the swap
+    commits the union (find_fovs_missing_col temp-marker semantics)."""
+    pysom = _train(pixel_base)
+    # dead run processed fov0 only: its labeled feather sits in the temp dir
+    pixel_som_clustering.cluster_pixels(["fov0"], str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    labeled_fov0 = feather.read_dataframe(
+        pixel_base / "pixel_mat_data" / "fov0.feather")
+    temp = pixel_base / "pixel_mat_data_temp"
+    temp.mkdir()
+    feather.write_dataframe(labeled_fov0, temp / "fov0.feather")
+    # strip fov0's labels from the live dir to mimic pre-swap state
+    feather.write_dataframe(
+        labeled_fov0.drop(columns="pixel_som_cluster"),
+        pixel_base / "pixel_mat_data" / "fov0.feather")
+
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    assert not temp.exists()
+    for fov in FOVS:
+        df = feather.read_dataframe(
+            pixel_base / "pixel_mat_data" / f"{fov}.feather")
+        assert "pixel_som_cluster" in df.columns
+
+
+def test_subset_fov_run_no_longer_loses_other_fovs(pixel_base):
+    """Running cluster_pixels on a SUBSET of FOVs must keep the others'
+    feathers intact (the reference's bare swap deletes them —
+    pixel_som_clustering.py:287-289; commit_temp_dir preserves survivors)."""
+    pysom = _train(pixel_base)
+    pixel_som_clustering.cluster_pixels(["fov0"], str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    f0 = feather.read_dataframe(pixel_base / "pixel_mat_data" / "fov0.feather")
+    f1 = feather.read_dataframe(pixel_base / "pixel_mat_data" / "fov1.feather")
+    assert "pixel_som_cluster" in f0.columns
+    assert "pixel_som_cluster" not in f1.columns      # untouched, not deleted
+    # the remaining FOV can be labeled afterwards
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    f1 = feather.read_dataframe(pixel_base / "pixel_mat_data" / "fov1.feather")
+    assert "pixel_som_cluster" in f1.columns
+
+
+def test_corrupted_fov_survives_the_swap_for_inspection(pixel_base, capsys):
+    """A corrupted feather is skipped AND left on disk after the commit
+    (previously the swap silently deleted it)."""
+    pysom = _train(pixel_base)
+    bad = pixel_base / "pixel_mat_data" / "fov1.feather"
+    bad.write_bytes(b"not a feather file")
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    out = capsys.readouterr().out
+    assert "corrupted" in out
+    assert bad.exists()                                # kept for inspection
+    assert bad.read_bytes() == b"not a feather file"
+    f0 = feather.read_dataframe(pixel_base / "pixel_mat_data" / "fov0.feather")
+    assert "pixel_som_cluster" in f0.columns
+
+
+def test_find_fovs_missing_col_handles_mixed_states(pixel_base):
+    """Per-file schema detection: only genuinely unlabeled FOVs are
+    returned (the reference samples one file and assumes uniformity)."""
+    from ark_tpu.phenotyping import pixel_cluster_utils as pcu
+    pysom = _train(pixel_base)
+    pixel_som_clustering.cluster_pixels(["fov0"], str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    missing = pcu.find_fovs_missing_col(str(pixel_base), "pixel_mat_data",
+                                        "pixel_som_cluster")
+    assert missing == ["fov1"]
+    # the probe created the in-progress marker; a second call still reports
+    # only fov1 (temp-dir branch, schema-checked)
+    assert (pixel_base / "pixel_mat_data_temp").exists()
+    assert pcu.find_fovs_missing_col(str(pixel_base), "pixel_mat_data",
+                                     "pixel_som_cluster") == ["fov1"]
+
+
+def test_read_column_names_without_data(pixel_base, rng):
+    from ark_tpu.io import feather_utils
+    path = pixel_base / "pixel_mat_data" / "fov0.feather"
+    cols = feather_utils.read_column_names(path)
+    assert cols == ["chan0", "chan1", "chan2", "fov", "row_index",
+                    "column_index", "label"]
+    bad = pixel_base / "bad.feather"
+    bad.write_bytes(b"junk")
+    with pytest.raises(Exception):
+        feather_utils.read_column_names(bad)
