@@ -339,6 +339,10 @@ def _prepare_train(data, xdim, ydim, num_passes, seed, batch_size,
         data = data.astype(jnp.float32)
     else:
         data = np.asarray(data, np.float32)
+    if data.ndim != 2:
+        raise ValueError(
+            f"SOM training data must be 2-D (rows, channels); got shape "
+            f"{data.shape}")
     n = data.shape[0]
     if n == 0:
         raise ValueError("cannot train SOM on empty data")

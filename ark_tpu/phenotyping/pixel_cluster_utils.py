@@ -203,6 +203,37 @@ def compute_pixel_cluster_channel_avg(fovs, channels, base_dir,
     return totals
 
 
+def ignore_extended_attributes(func, filename, exc) -> None:
+    """shutil.rmtree onexc handler: tolerate macOS extended-attribute
+    ('._*') files (reference `pixel_som_clustering.py:292-305`)."""
+    if not (func is os.unlink
+            and os.path.basename(filename).startswith("._")):
+        raise
+
+
+def _readable_feather(path: str) -> bool:
+    """True if the feather's schema is readable (a truncated file from a
+    killed run is not)."""
+    try:
+        feather.read_column_names(path)
+        return True
+    except (OSError, IOError, Exception) as e:
+        if type(e).__name__ not in ("ArrowInvalid", "OSError", "IOError"):
+            raise
+        return False
+
+
+def valid_temp_files(data_path: str) -> set:
+    """Feather filenames in `<data_path>_temp` that are intact. Files a
+    killed run truncated mid-write do NOT count as processed — they must be
+    redone, and `commit_temp_dir` must not let them shadow the originals."""
+    temp_path = data_path + "_temp"
+    if not os.path.exists(temp_path):
+        return set()
+    return {f for f in io_utils.list_files(temp_path, substrs=".feather")
+            if _readable_feather(os.path.join(temp_path, f))}
+
+
 def commit_temp_dir(data_path: str) -> None:
     """Atomically commit `<data_path>_temp` over `data_path`, losslessly.
 
@@ -210,23 +241,19 @@ def commit_temp_dir(data_path: str) -> None:
     (`pixel_som_clustering.py:287-289`) silently DELETES any feather that
     never made it into the temp dir — unrequested FOVs when the caller
     passed a subset, and corrupted FOVs the stage skipped. Here those
-    survivors are moved into the temp dir first, so the swap can only add
-    or update files, never drop them.
+    survivors are moved into the temp dir first (overwriting any truncated
+    half-written temp file), so the swap can only add or update files,
+    never drop them.
     """
     import shutil
 
-    def _ignore_extended_attributes(func, filename, exc):
-        # tolerate macOS extended-attribute ('._*') files during rmtree
-        if not (func is os.unlink
-                and os.path.basename(filename).startswith("._")):
-            raise
-
     temp_path = data_path + "_temp"
+    intact = valid_temp_files(data_path)
     for f in io_utils.list_files(data_path, substrs=".feather"):
-        if not os.path.exists(os.path.join(temp_path, f)):
+        if f not in intact:
             shutil.move(os.path.join(data_path, f),
                         os.path.join(temp_path, f))
-    shutil.rmtree(data_path, onexc=_ignore_extended_attributes)
+    shutil.rmtree(data_path, onexc=ignore_extended_attributes)
     shutil.move(temp_path, data_path)
 
 
@@ -263,8 +290,11 @@ def find_fovs_missing_col(base_dir, data_dir, missing_col) -> List[str]:
             os.mkdir(temp_path)
             return io_utils.remove_file_extensions(missing)
         return []
+    # in-progress: redo files that still lack the col and are not ALREADY
+    # validly processed into temp (a truncated temp feather from a killed
+    # run does not count — it gets rewritten, never committed as-is)
     data_files = set(
         f for f in io_utils.list_files(data_path, substrs=".feather")
         if _file_missing_col(os.path.join(data_path, f), missing_col))
-    temp_files = set(io_utils.list_files(temp_path, substrs=".feather"))
+    temp_files = valid_temp_files(data_path)
     return io_utils.remove_file_extensions(list(data_files - temp_files))

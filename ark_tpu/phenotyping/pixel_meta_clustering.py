@@ -52,7 +52,8 @@ def pixel_consensus_cluster(fovs, channels, base_dir, max_k=20, cap=3,
         # tolerate a stale _temp left by a run killed mid-overwrite (the
         # reference's bare mkdir crashes on it); overwrite restarts cleanly
         if os.path.exists(pixel_data_path + "_temp"):
-            rmtree(pixel_data_path + "_temp")
+            rmtree(pixel_data_path + "_temp",
+                   onexc=pixel_cluster_utils.ignore_extended_attributes)
         os.mkdir(pixel_data_path + "_temp")
         fovs_list = io_utils.remove_file_extensions(
             io_utils.list_files(pixel_data_path, substrs=".feather"))
@@ -60,13 +61,11 @@ def pixel_consensus_cluster(fovs, channels, base_dir, max_k=20, cap=3,
         fovs_list = pixel_cluster_utils.find_fovs_missing_col(
             base_dir, data_dir, "pixel_meta_cluster")
     fovs_list = list(set(fovs_list).intersection(fovs))
-    if len(fovs_list) == 0:
-        print("There are no more FOVs to assign meta labels to, skipping")
-        return
-    if len(fovs_list) < len(fovs):
-        print(f"Restarting meta cluster label assignment from fov "
-              f"{fovs_list[0]}, {len(fovs_list)} fovs left to process")
 
+    # deterministic (seeded) consensus over the small SOM-average table;
+    # built even when no FOVs are left so callers always receive the
+    # PixieConsensusCluster the avg-file generators need (the reference
+    # returns None on its skip path and the notebook crashes downstream)
     pixel_cc = cluster_helpers.PixieConsensusCluster(
         "pixel", som_cluster_avg_path, channels, max_k=max_k, cap=cap)
     print("z-score scaling and capping data")
@@ -75,6 +74,17 @@ def pixel_consensus_cluster(fovs, channels, base_dir, max_k=20, cap=3,
     print("Running consensus clustering")
     pixel_cc.run_consensus_clustering()
     pixel_cc.generate_som_to_meta_map()
+
+    if len(fovs_list) == 0:
+        print("There are no more FOVs to assign meta labels to, skipping")
+        # a run killed after its last FOV leaves finished work stranded in
+        # the temp dir — commit it instead of leaving labels invisible
+        if os.path.exists(pixel_data_path + "_temp"):
+            pixel_cluster_utils.commit_temp_dir(pixel_data_path)
+        return pixel_cc
+    if len(fovs_list) < len(fovs):
+        print(f"Restarting meta cluster label assignment from fov "
+              f"{fovs_list[0]}, {len(fovs_list)} fovs left to process")
 
     print("Mapping pixel data to consensus cluster labels")
     fovs_processed = 0
@@ -169,10 +179,16 @@ def apply_pixel_meta_cluster_remapping(fovs, channels, base_dir,
         os.mkdir(pixel_data_path + "_temp")
         fov_list = fovs
     else:
-        fov_list = pixel_cluster_utils.find_fovs_missing_col(
-            base_dir, pixel_data_dir, "pixel_meta_cluster_rename")
-        print(f"Restarting meta cluster remapping assignment from "
-              f"{fov_list[0]}, {len(fov_list)} fovs left to process")
+        # resume after a crash: done-ness for a remap is "validly written
+        # into temp", NOT "has the rename column" — a RE-remap with an
+        # edited CSV rewrites files that already carry the column from the
+        # previous mapping, so a column check would skip them all
+        done = {os.path.splitext(f)[0] for f in
+                pixel_cluster_utils.valid_temp_files(pixel_data_path)}
+        fov_list = [f for f in fovs if f not in done]
+        if fov_list:
+            print(f"Restarting meta cluster remapping assignment from "
+                  f"{fov_list[0]}, {len(fov_list)} fovs left to process")
 
     print("Using re-mapping scheme to re-label pixel meta clusters")
     fovs_processed = 0

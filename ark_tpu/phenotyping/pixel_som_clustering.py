@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 from shutil import rmtree
-from typing import Any, Callable, Tuple
+from typing import Tuple
 
 from ark_tpu.io import feather_utils as feather
 from ark_tpu.io import io_utils
@@ -115,7 +115,7 @@ def cluster_pixels(fovs, base_dir, pixel_pysom, data_dir="pixel_mat_data",
         # fresh assignment, so partial results from the dead run are garbage
         if os.path.exists(data_path + "_temp"):
             rmtree(data_path + "_temp",
-                   onexc=_ignore_extended_attributes)
+                   onexc=pixel_cluster_utils.ignore_extended_attributes)
         os.mkdir(data_path + "_temp")
         fovs_list = io_utils.remove_file_extensions(
             io_utils.list_files(data_path, substrs=".feather"))
@@ -125,6 +125,10 @@ def cluster_pixels(fovs, base_dir, pixel_pysom, data_dir="pixel_mat_data",
     fovs_list = list(set(fovs_list).intersection(fovs))
     if len(fovs_list) == 0:
         print("There are no more FOVs to assign SOM labels to, skipping")
+        # a run killed after its last FOV leaves finished work stranded in
+        # the temp dir — commit it instead of leaving labels invisible
+        if os.path.exists(data_path + "_temp"):
+            pixel_cluster_utils.commit_temp_dir(data_path)
         return
     if len(fovs_list) < len(fovs):
         print(f"Restarting SOM label assignment from fov {fovs_list[0]}, "
@@ -144,13 +148,6 @@ def cluster_pixels(fovs, base_dir, pixel_pysom, data_dir="pixel_mat_data",
 
     # atomic lossless stage commit (unprocessed/corrupted FOV files survive)
     pixel_cluster_utils.commit_temp_dir(data_path)
-
-
-def _ignore_extended_attributes(func: Callable, filename: str, exc: Any):
-    """Tolerate macOS extended-attribute ('._*') files during rmtree."""
-    is_meta_file = os.path.basename(filename).startswith("._")
-    if not (func is os.unlink and is_meta_file):
-        raise
 
 
 def generate_som_avg_files(fovs, channels, base_dir, pixel_pysom,

@@ -29,13 +29,19 @@ class _Debouncer:
         if remaining <= 0:
             self._fire(args, kwargs)
             return
+        # only schedule a trailing call when a loop is actually RUNNING
+        # (the Jupyter kernel's, where ipywidgets callbacks execute).
+        # asyncio.ensure_future without one does NOT raise — it grabs or
+        # creates a never-running loop via get_event_loop, silently
+        # dropping the call — so probe get_running_loop explicitly and
+        # degrade to firing immediately in plain scripts.
         try:
-            self._pending = asyncio.ensure_future(
-                self._fire_later(remaining, args, kwargs))
+            loop = asyncio.get_running_loop()
         except RuntimeError:
-            # no running event loop (plain script, not ipywidgets/Jupyter):
-            # degrade to firing immediately rather than dropping the call
             self._fire(args, kwargs)
+            return
+        self._pending = loop.create_task(
+            self._fire_later(remaining, args, kwargs))
 
     def _fire(self, args, kwargs):
         self._last_fired = time.monotonic()

@@ -132,3 +132,11 @@ def test_som_train_sharded_uneven_and_tiny_inputs(rng):
         # trained weights must live inside the data's bounding box (batch
         # Kohonen updates are convex combinations of data rows)
         assert w.min() >= x.min() - 1e-5 and w.max() <= x.max() + 1e-5
+
+
+def test_som_train_rejects_non_2d_input(rng):
+    with pytest.raises(ValueError, match="2-D"):
+        som_ops.som_train(rng.random(100).astype(np.float32))
+    with pytest.raises(ValueError, match="2-D"):
+        som_ops.som_train_and_map(
+            rng.random((4, 4, 4)).astype(np.float32))

@@ -302,3 +302,109 @@ def test_read_column_names_without_data(pixel_base, rng):
     bad.write_bytes(b"junk")
     with pytest.raises(Exception):
         feather_utils.read_column_names(bad)
+
+
+def test_re_remap_resume_with_edited_csv(pixel_base):
+    """Crash-resume of a SECOND remap: every file already carries the
+    rename column from the first mapping, so done-ness must come from the
+    temp dir, not a column check (review finding: the column check made
+    fov_list empty -> IndexError / silent partial commit)."""
+    pysom = _train(pixel_base)
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    pixel_som_clustering.generate_som_avg_files(
+        FOVS, CHANNELS, str(pixel_base), pysom, data_dir="pixel_mat_data")
+    pixel_meta_clustering.pixel_consensus_cluster(
+        FOVS, CHANNELS, str(pixel_base), max_k=3, data_dir="pixel_mat_data")
+    som_avg = pd.read_csv(pixel_base / "pixel_channel_avg_som_cluster.csv")
+
+    def write_remap(suffix):
+        remap = som_avg[["pixel_som_cluster"]].copy()
+        remap["pixel_meta_cluster"] = (som_avg["pixel_som_cluster"] % 2) + 1
+        remap["pixel_meta_cluster_rename"] = remap["pixel_meta_cluster"].map(
+            lambda m: f"{suffix}_{m}")
+        remap.to_csv(pixel_base / "remap.csv", index=False)
+
+    write_remap("first")
+    pixel_meta_clustering.apply_pixel_meta_cluster_remapping(
+        FOVS, CHANNELS, str(pixel_base), "pixel_mat_data", "remap.csv")
+
+    # second remap with an edited CSV dies after fov0: temp holds fov0 only
+    write_remap("second")
+    temp = pixel_base / "pixel_mat_data_temp"
+    temp.mkdir()
+    remap2 = pd.read_csv(pixel_base / "remap.csv")
+    rd = dict(remap2[["pixel_som_cluster", "pixel_meta_cluster"]].values)
+    nd = dict(remap2[["pixel_meta_cluster",
+                      "pixel_meta_cluster_rename"]].drop_duplicates().values)
+    pixel_meta_clustering.update_pixel_meta_labels(
+        str(pixel_base / "pixel_mat_data"), rd, nd, "fov0")
+    assert (temp / "fov0.feather").exists()
+
+    # resume must process exactly fov1 and commit BOTH with the new names
+    pixel_meta_clustering.apply_pixel_meta_cluster_remapping(
+        FOVS, CHANNELS, str(pixel_base), "pixel_mat_data", "remap.csv")
+    assert not temp.exists()
+    for fov in FOVS:
+        df = feather.read_dataframe(
+            pixel_base / "pixel_mat_data" / f"{fov}.feather")
+        assert df["pixel_meta_cluster_rename"].str.startswith("second").all()
+
+
+def test_truncated_temp_file_is_redone_not_committed(pixel_base):
+    """A temp feather truncated by a killed run must be re-processed, and
+    must never shadow the good original at commit time."""
+    from ark_tpu.phenotyping import pixel_cluster_utils as pcu
+    pysom = _train(pixel_base)
+    temp = pixel_base / "pixel_mat_data_temp"
+    temp.mkdir()
+    (temp / "fov1.feather").write_bytes(b"trunc")   # killed mid-write
+    missing = pcu.find_fovs_missing_col(str(pixel_base), "pixel_mat_data",
+                                        "pixel_som_cluster")
+    assert sorted(missing) == ["fov0", "fov1"]      # fov1 NOT counted done
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    for fov in FOVS:
+        df = feather.read_dataframe(
+            pixel_base / "pixel_mat_data" / f"{fov}.feather")
+        assert "pixel_som_cluster" in df.columns    # real data, not b"trunc"
+
+
+def test_stranded_complete_temp_dir_gets_committed(pixel_base, capsys):
+    """Run killed between the last FOV write and the swap: the next call
+    sees nothing left to assign but must commit the stranded temp."""
+    pysom = _train(pixel_base)
+    # simulate: a full run's output sits in temp; data files unlabeled
+    temp = pixel_base / "pixel_mat_data_temp"
+    temp.mkdir()
+    for fov in FOVS:
+        df = feather.read_dataframe(
+            pixel_base / "pixel_mat_data" / f"{fov}.feather")
+        labeled = pysom.assign_som_clusters(df)
+        feather.write_dataframe(labeled, temp / f"{fov}.feather")
+
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    assert "no more FOVs" in capsys.readouterr().out
+    assert not temp.exists()
+    for fov in FOVS:
+        df = feather.read_dataframe(
+            pixel_base / "pixel_mat_data" / f"{fov}.feather")
+        assert "pixel_som_cluster" in df.columns
+
+
+def test_consensus_cluster_returns_cc_on_skip_path(pixel_base):
+    """pixel_consensus_cluster must hand back the PixieConsensusCluster
+    even when every FOV already has meta labels (the reference returns
+    None there and the notebook's avg-file step crashes)."""
+    pysom = _train(pixel_base)
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    pixel_som_clustering.generate_som_avg_files(
+        FOVS, CHANNELS, str(pixel_base), pysom, data_dir="pixel_mat_data")
+    cc1 = pixel_meta_clustering.pixel_consensus_cluster(
+        FOVS, CHANNELS, str(pixel_base), max_k=3, data_dir="pixel_mat_data")
+    cc2 = pixel_meta_clustering.pixel_consensus_cluster(
+        FOVS, CHANNELS, str(pixel_base), max_k=3, data_dir="pixel_mat_data")
+    assert cc2 is not None
+    pd.testing.assert_frame_equal(cc1.mapping, cc2.mapping)  # deterministic
