@@ -176,7 +176,10 @@ class PanopticNet(nn.Module):
         return out
 
 
-@functools.lru_cache(maxsize=8)
+# maxsize=2 bounds retained memory: a full Mesmer variables pytree is
+# ~100 MB f32, and real sessions touch at most two configs (full + mini);
+# 8 slots could pin close to a GB for the process lifetime
+@functools.lru_cache(maxsize=2)
 def _init_cached(seed, input_shape, dtype, config_items):
     model = PanopticNet(dtype=dtype, **dict(config_items))
     variables = jax.jit(functools.partial(model.init, train=False))(

@@ -29,7 +29,11 @@ def quantile(x: jax.Array, q: float) -> jax.Array:
     """np.quantile(x, q) with linear interpolation, on device."""
     flat = x.reshape(-1).astype(jnp.float32)
     if _use_bisect():
-        return _masked_quantile_flat(flat, jnp.ones_like(flat, bool), q)
+        out = _masked_quantile_flat(flat, jnp.ones_like(flat, bool), q)
+        # np.quantile propagates NaN; the bit-key bisection would instead
+        # order NaN as an extreme value, silently diverging from the CPU
+        # sort path on the same data
+        return jnp.where(jnp.any(jnp.isnan(flat)), jnp.nan, out)
     return jnp.quantile(flat, q)
 
 
@@ -153,7 +157,10 @@ def nonzero_quantile_per_column_bisect(x: jax.Array, q: float) -> jax.Array:
     .quantile(q)`, linear interpolation) via counting bisection instead of a
     sort. x: (N, C) -> (C,); NaN for all-zero columns."""
     x = x.astype(jnp.float32)
-    valid = x != 0
+    # NaN entries are ignored, matching the pandas/nanquantile sort path
+    # (NaN != 0 is True, so a bare `x != 0` would count them as valid and
+    # the bit-key ordering would place them past +inf)
+    valid = (x != 0) & ~jnp.isnan(x)
     n_valid = jnp.sum(valid, axis=0)                       # (C,)
     pos = q * jnp.maximum(n_valid - 1, 0).astype(jnp.float32)
     i0 = jnp.floor(pos).astype(jnp.int32)
@@ -169,7 +176,7 @@ def masked_quantile_per_column_bisect(x: jax.Array, valid: jax.Array,
                                       q: float) -> jax.Array:
     """`masked_quantile_per_column` semantics via counting bisection."""
     x = x.astype(jnp.float32)
-    ok = valid[:, None] & (x != 0)
+    ok = valid[:, None] & (x != 0) & ~jnp.isnan(x)
     n_valid = jnp.sum(ok, axis=0)
     pos = q * jnp.maximum(n_valid - 1, 0).astype(jnp.float32)
     i0 = jnp.floor(pos).astype(jnp.int32)

@@ -24,6 +24,7 @@ import numpy as np
 
 from ark_tpu.models import unet
 from ark_tpu.ops import morphology
+from ark_tpu.ops.quantiles import _float_keys, _keys_to_float
 from ark_tpu.ops import watershed as watershed_ops
 
 
@@ -35,10 +36,13 @@ def _order_stats_bisect(flat: jax.Array, idxs) -> jax.Array:
     (H·W) pixels costs as much as the whole Mesmer forward on this TPU
     (~11.5 ms per 4×512² batch); the counting passes cost ~2.5 ms. top_k is
     no help (O(n·k) on TPU). Exact to f32 bit patterns — the bisection
-    converges to an element of the slice."""
-    bits = jax.lax.bitcast_convert_type(flat, jnp.uint32)
-    # IEEE754 -> order-preserving unsigned key (negatives flipped entirely)
-    key = jnp.where(bits >> 31 == 1, ~bits, bits ^ jnp.uint32(0x80000000))
+    converges to an element of the slice.
+
+    The IEEE754↔monotone-uint32 key transforms are shared with
+    `ops.quantiles` (the (N, C)-table masked variant of this kernel); only
+    the batched unmasked bisection loop lives here. hi starts at the full
+    0xFFFFFFFF because, with no invalid-row sentinel, that key is legal."""
+    key = _float_keys(flat)
     k = jnp.asarray(idxs, jnp.uint32)
     prefix = flat.shape[:-1]
     m = len(idxs)
@@ -56,8 +60,7 @@ def _order_stats_bisect(flat: jax.Array, idxs) -> jax.Array:
         return lo, hi
 
     lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
-    fbits = jnp.where(lo >> 31 == 1, lo ^ jnp.uint32(0x80000000), ~lo)
-    return jax.lax.bitcast_convert_type(fbits, jnp.float32)
+    return _keys_to_float(lo)
 
 
 def _percentile_normalize(batch: jax.Array) -> jax.Array:
@@ -107,6 +110,10 @@ class Mesmer:
         their architecture config ('__config__'), so `weights_path` alone
         reconstructs the right PanopticNet variant."""
         if model is not None:
+            if weights_path is None and variables is None:
+                raise ValueError(
+                    "Mesmer(model=...) needs its weights: pass variables= "
+                    "or weights_path= alongside the injected model")
             self.model = model
             self.variables = unet.load_params_npz(weights_path) \
                 if weights_path is not None else variables

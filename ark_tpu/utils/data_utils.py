@@ -379,10 +379,8 @@ def _h5ad_write_array(group, name: str, vals: np.ndarray):
             name, data=[str(v) for v in vals],
             dtype=h5py.string_dtype(encoding="utf-8"))
         _h5ad_set_encoding(ds, "string-array", "0.2.0")
-    elif vals.dtype.kind == "b":
-        ds = group.create_dataset(name, data=vals)
-        _h5ad_set_encoding(ds, "array", "0.2.0")
     else:
+        # numeric and bool arrays share the plain 'array' encoding
         ds = group.create_dataset(name, data=vals)
         _h5ad_set_encoding(ds, "array", "0.2.0")
     return ds

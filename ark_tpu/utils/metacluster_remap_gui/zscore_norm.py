@@ -32,8 +32,15 @@ class ZScoreNormalize(Normalize):
         return np.interp(value, ys, xs)
 
     def calibrate(self, values):
-        """Symmetric auto-range: center at 0, extent = max |value|."""
-        top = float(np.max(values))
-        self.vmin = min(-top, 0.0)
+        """Symmetric auto-range: center at 0, extent = max |value|.
+
+        NaN-safe: a zero-variance marker z-scores to a NaN column, and a
+        plain max would poison vmin/vmax and blank BOTH heatmaps."""
+        with np.errstate(all="ignore"):
+            top = float(np.nanmax(values)) if np.any(
+                ~np.isnan(values)) else 3.0
+        if not np.isfinite(top) or top <= 0:
+            top = 3.0
+        self.vmin = -top
         self.vcenter = 0.0
         self.vmax = top

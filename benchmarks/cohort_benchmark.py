@@ -66,6 +66,9 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42):
     model, variables = unet.init_mesmer(input_shape=(1, size, size, 2))
     mesmer_in = img_stack[..., :2]            # (F, H, W, 2) nuclear+membrane
     mes_batch = 2
+    # pad the FOV axis up to a multiple of the scan batch (padded outputs
+    # are computed then ignored; n_fovs=10 stays exact)
+    n_pad = (-n_fovs) % mes_batch
 
     @jax.jit
     def mesmer_all(stack):
@@ -73,7 +76,9 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42):
             out = model.apply(variables, batch, train=False)
             return None, (out["whole_cell_inner_distance"][..., 0],
                           out["whole_cell_pixelwise"][..., 0])
-        batches = stack.reshape(n_fovs // mes_batch, mes_batch,
+        if n_pad:
+            stack = jnp.concatenate([stack, stack[:n_pad]], axis=0)
+        batches = stack.reshape((n_fovs + n_pad) // mes_batch, mes_batch,
                                 size, size, 2)
         _, outs = jax.lax.scan(one, None, batches)
         return outs

@@ -122,3 +122,28 @@ def test_masked_bisect_matches_masked_sort(rng):
     bis = np.asarray(q_ops.masked_quantile_per_column_bisect(x, valid, 0.999))
     srt = np.asarray(q_ops.masked_quantile_per_column(x, valid, 0.999))
     np.testing.assert_allclose(bis, srt, rtol=1e-6, atol=0)
+
+
+def test_bisect_nan_semantics_match_sort_paths(rng):
+    """NaN handling must be backend-independent: plain quantile propagates
+    NaN (np.quantile semantics); the nonzero/masked variants IGNORE NaN
+    (pandas/nanquantile semantics). The bit-key bisection would otherwise
+    order NaN as an extreme value."""
+    x = rng.normal(size=200).astype(np.float32)
+    x[7] = np.nan
+    assert np.isnan(np.asarray(q_ops.quantile(x, 0.5)))
+
+    m = rng.random((100, 3)).astype(np.float32)
+    m[rng.random(m.shape) < 0.2] = 0.0
+    m[5, 0] = np.nan
+    m[9, 2] = np.nan
+    bis = np.asarray(q_ops.nonzero_quantile_per_column_bisect(m, 0.9))
+    srt = np.asarray(q_ops.nonzero_quantile_per_column(m, 0.9))
+    np.testing.assert_allclose(bis, srt, rtol=1e-6, atol=0)
+    want = _pandas_nonzero_quantile(m, 0.9)
+    np.testing.assert_allclose(bis, want, rtol=1e-5, atol=1e-5)
+
+    valid = rng.random(100) < 0.7
+    bis_m = np.asarray(q_ops.masked_quantile_per_column_bisect(m, valid, 0.9))
+    srt_m = np.asarray(q_ops.masked_quantile_per_column(m, valid, 0.9))
+    np.testing.assert_allclose(bis_m, srt_m, rtol=1e-6, atol=0)

@@ -111,3 +111,12 @@ def test_deepcell_zip_roundtrip(rng, tmp_path):
         nuc = read_image(str(out_dir / f"{fov}_nuclear.tiff"))
         assert wc.shape == (64, 64)
         assert nuc.shape == (64, 64)
+
+
+def test_mesmer_injected_model_requires_weights():
+    from ark_tpu.models import unet as unet_mod
+    model, variables = unet_mod.init_mesmer_mini()
+    with pytest.raises(ValueError, match="variables= or weights_path="):
+        mesmer.Mesmer(model=model)
+    app = mesmer.Mesmer(model=model, variables=variables)   # valid pairing
+    assert app.variables is variables

@@ -318,3 +318,33 @@ def test_gui_constructs_with_default_throttle(som_avg_csv, tmp_path):
     assert gui._figure is not None
     gui.select_cluster(mcd.clusters.index[0])
     gui.update_gui()          # throttled repaint path
+
+
+def test_constant_marker_column_does_not_blank_heatmaps(tmp_path, rng):
+    """A zero-variance marker z-scores to NaN; calibrate must not poison
+    vmin/vmax (which blanked BOTH heatmaps)."""
+    n = 12
+    df = pd.DataFrame(rng.random((n, 3)), columns=["m1", "m2", "m3"])
+    df["m2"] = 0.0                                  # constant channel
+    df["pixel_som_cluster"] = np.arange(1, n + 1)
+    df["pixel_meta_cluster"] = (np.arange(n) % 3) + 1
+    df["count"] = rng.integers(10, 100, n)
+    path = tmp_path / "avg.csv"
+    df.to_csv(path, index=False)
+    mcd = metaclusterdata_from_files(str(path))
+    gui = MetaClusterGui(mcd, enable_throttle=False)
+    assert gui._figure is not None
+    gui._heatmaps_stale = True
+    gui._update_gui()
+    assert np.isfinite(gui.zscore_norm.vmin)
+    assert np.isfinite(gui.zscore_norm.vmax)
+    assert gui.zscore_norm.vmax > 0
+    # the non-constant markers still render (not all-NaN output)
+    rendered = np.asarray(gui.im_c.get_array(), dtype=float)
+    assert np.isfinite(rendered).any()
+
+
+def test_zscore_calibrate_all_nan_falls_back():
+    zn = ZScoreNormalize()
+    zn.calibrate(np.full((3, 4), np.nan))
+    assert (zn.vmin, zn.vmax) == (-3.0, 3.0)
