@@ -11,19 +11,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@jax.jit
-def pairwise_distances(a: jax.Array, b: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("zero_diagonal",))
+def pairwise_distances(a: jax.Array, b: jax.Array,
+                       zero_diagonal: bool = False) -> jax.Array:
     """Euclidean distances between rows of a (N,D) and b (M,D); (N, M).
 
-    Uses the ||a||²−2ab+||b||² decomposition (MXU matmul) with clamping, and
-    exactly zeroes the diagonal pattern by flooring at 0.
+    Uses the ||a||²−2ab+||b||² decomposition (MXU matmul), floored at 0.
+    Pass `zero_diagonal=True` for self-distance matrices (a vs a): the MXU's
+    accumulation makes d_ii a small POSITIVE value on TPU (not exactly 0),
+    which would let `dist > 0` self-exclusion masks count a cell as its own
+    nearest neighbor — the diagonal is forced to exact 0.
     """
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     a2 = jnp.sum(a * a, axis=1)[:, None]
     b2 = jnp.sum(b * b, axis=1)[None, :]
     d2 = a2 + b2 - 2.0 * (a @ b.T)
-    return jnp.sqrt(jnp.maximum(d2, 0.0))
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    if zero_diagonal:
+        n, m = d.shape
+        eye = jnp.arange(n)[:, None] == jnp.arange(m)[None, :]
+        d = jnp.where(eye, 0.0, d)
+    return d
 
 
 def cdist(a, b=None, block_rows: int = 8192) -> np.ndarray:
@@ -33,15 +42,21 @@ def cdist(a, b=None, block_rows: int = 8192) -> np.ndarray:
     full-size buffer.
     """
     a = np.asarray(a, np.float32)
-    b = a if b is None else np.asarray(b, np.float32)
+    self_dist = b is None
+    b = a if self_dist else np.asarray(b, np.float32)
     n = a.shape[0]
+    # exact-zero self distances when b is None: downstream `dist > 0` masks
+    # depend on it, and the TPU MXU leaves small positive diagonal values
     if n <= block_rows:
-        return np.asarray(pairwise_distances(jnp.asarray(a), jnp.asarray(b)))
+        return np.asarray(pairwise_distances(
+            jnp.asarray(a), jnp.asarray(b), zero_diagonal=self_dist))
     out = np.empty((n, b.shape[0]), np.float32)
     bj = jnp.asarray(b)
     for i in range(0, n, block_rows):
         out[i:i + block_rows] = np.asarray(
             pairwise_distances(jnp.asarray(a[i:i + block_rows]), bj))
+    if self_dist:
+        np.fill_diagonal(out, 0.0)
     return out
 
 

@@ -22,10 +22,16 @@ def _plus_plus_init(key, data: jax.Array, k: int) -> jax.Array:
     first = jax.random.randint(sub, (), 0, n)
     centers0 = jnp.zeros((k, data.shape[1]), data.dtype).at[0].set(data[first])
 
+    x2 = jnp.sum(data * data, axis=1)
+
     def body(i, carry):
         centers, key = carry
-        d2 = jnp.min(jnp.sum((data[:, None, :] - centers[None, :, :]) ** 2,
-                             axis=-1)
+        # matmul decomposition, same as assign(): the naive broadcast form
+        # builds an (N, k, D) intermediate (~640 MB at 1M×10×16) per
+        # seeding step — and n_init restarts vmap over this
+        c2 = jnp.sum(centers * centers, axis=1)
+        pair = x2[:, None] - 2.0 * (data @ centers.T) + c2[None, :]
+        d2 = jnp.min(jnp.maximum(pair, 0.0)
                      + jnp.where(jnp.arange(k)[None, :] < i, 0.0, jnp.inf),
                      axis=1)
         key, sub = jax.random.split(key)

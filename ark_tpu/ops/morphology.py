@@ -34,11 +34,22 @@ def find_boundaries(labels: jax.Array, connectivity: int = 1,
     if mode == "inner":
         return differs & (lab > 0)
     if mode == "outer":
-        # skimage outer: boundary on the background side (plus label-label)
-        any_bg_neighbor = jnp.zeros((h, w), bool)
-        for s in shifts:
-            any_bg_neighbor |= (s != lab) & ((s == 0) | (lab == 0))
-        return any_bg_neighbor
+        # skimage outer: background pixels at object boundaries, PLUS — for
+        # touching objects, where no background separates them — the
+        # higher-label side of the interface ('when two objects touch,
+        # their boundary is also marked'). skimage gets the latter by
+        # setting background to int-max and grey-eroding: an object pixel
+        # whose smallest (inverted) neighbor differs from itself borders a
+        # smaller label.
+        inv = jnp.where(lab == 0, jnp.iinfo(jnp.int32).max, lab)
+        pad_inv = jnp.pad(inv, 1, mode="edge")
+        eroded = inv
+        offs = [(0, 1), (2, 1), (1, 0), (1, 2)]
+        if connectivity == 2:
+            offs += [(0, 0), (0, 2), (2, 0), (2, 2)]
+        for dy, dx in offs:
+            eroded = jnp.minimum(eroded, pad_inv[dy:dy + h, dx:dx + w])
+        return differs & ((lab == 0) | (eroded != inv))
     return differs  # thick
 
 

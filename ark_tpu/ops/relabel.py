@@ -45,6 +45,11 @@ def relabel_segmentation(mapping: Dict, unassigned_id,
     if use_device is None:
         use_device = labeled_image.size >= 1 << 20
     if use_device:
+        # jax runs without x64: a float64 LUT would silently downcast to
+        # f32 on device, making output dtype/values depend on IMAGE SIZE
+        # (the use_device heuristic). Keep f64 LUTs on the host gather.
+        if lut.dtype == np.float64 or lut.dtype == np.int64:
+            return lut[labeled_image]
         return np.asarray(_gather_lut(jnp.asarray(labeled_image),
                                       jnp.asarray(lut)))
     return lut[labeled_image]

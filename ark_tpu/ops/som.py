@@ -244,7 +244,8 @@ def som_map(weights, data, impl: str = "auto",
     weights = jnp.asarray(weights, jnp.float32)
     data = jnp.asarray(data, jnp.float32)
     if data.shape[0] == 0:
-        return np.empty(0, np.int32), np.empty(0, np.float32)
+        return (np.empty(0, np.int32),
+                np.empty(0, np.float32) if return_dist else None)
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu")
     if use_pallas:

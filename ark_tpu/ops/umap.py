@@ -119,11 +119,31 @@ def _smooth_knn(dists: jax.Array, n_iter: int = 64):
     return rho, (lo + hi) / 2.0
 
 
+@functools.lru_cache(maxsize=8)
+def find_ab_params(spread: float = 1.0, min_dist: float = 0.1):
+    """Least-squares fit of the low-dim similarity curve 1/(1 + a d^{2b})
+    to the target exp falloff, exactly as umap-learn's find_ab_params —
+    this is what makes `min_dist` a real parameter instead of a hardwired
+    (a, b) for min_dist=0.1."""
+    if (spread, min_dist) == (1.0, 0.1):
+        return _A, _B                      # precomputed default
+    from scipy.optimize import curve_fit
+    xv = np.linspace(0.0, spread * 3.0, 300)
+    yv = np.where(xv < min_dist, 1.0, np.exp(-(xv - min_dist) / spread))
+
+    def curve(x, a, b):
+        return 1.0 / (1.0 + a * x ** (2.0 * b))
+
+    (a, b), _ = curve_fit(curve, xv, yv, p0=(_A, _B), maxfev=10000)
+    return float(a), float(b)
+
+
 @functools.partial(jax.jit, static_argnames=("n_epochs", "negative_sample_rate"))
 def _optimize(emb0: jax.Array, heads: jax.Array, tails: jax.Array,
               weights: jax.Array, key, n_epochs: int = 200,
               negative_sample_rate: int = 5,
-              initial_lr: float = 1.0) -> jax.Array:
+              initial_lr: float = 1.0, a: float = _A,
+              b: float = _B) -> jax.Array:
     """SGD over the UMAP cross-entropy, all edges per epoch."""
     n = emb0.shape[0]
     n_edges = heads.shape[0]
@@ -140,7 +160,7 @@ def _optimize(emb0: jax.Array, heads: jax.Array, tails: jax.Array,
         d2s = jnp.maximum(d2, 1e-8)
         grad_coef = jnp.where(
             d2 > 0.0,
-            -2.0 * _A * _B * d2s ** (_B - 1.0) / (1.0 + _A * d2s ** _B),
+            -2.0 * a * b * d2s ** (b - 1.0) / (1.0 + a * d2s ** b),
             0.0)
         attract = jnp.clip(grad_coef[:, None] * diff, -4.0, 4.0) \
             * weights[:, None]
@@ -156,7 +176,7 @@ def _optimize(emb0: jax.Array, heads: jax.Array, tails: jax.Array,
             ne = jnp.take(emb, negs, axis=0)
             diff = he - ne
             d2 = jnp.sum(diff * diff, axis=1)
-            coef = 2.0 * _B / ((0.001 + d2) * (1.0 + _A * d2 ** _B))
+            coef = 2.0 * b / ((0.001 + d2) * (1.0 + a * d2 ** b))
             repel = jnp.clip(coef[:, None] * diff, -4.0, 4.0) \
                 * weights[:, None]
             emb = emb.at[heads].add(lr * repel)
@@ -182,10 +202,13 @@ class UMAP:
     """umap-learn-compatible front: UMAP().fit_transform(X) -> (N, 2)."""
 
     def __init__(self, n_neighbors: int = 15, n_components: int = 2,
-                 min_dist: float = 0.1, n_epochs: int = 200,
-                 negative_sample_rate: int = 5, random_state: int = 42):
+                 min_dist: float = 0.1, spread: float = 1.0,
+                 n_epochs: int = 200, negative_sample_rate: int = 5,
+                 random_state: int = 42):
         self.n_neighbors = n_neighbors
         self.n_components = n_components
+        self.min_dist = float(min_dist)
+        self.spread = float(spread)
         self.n_epochs = n_epochs
         self.negative_sample_rate = negative_sample_rate
         self.random_state = random_state
@@ -211,10 +234,12 @@ class UMAP:
 
         emb0 = _pca(data, self.n_components)
         emb0 = emb0 / (jnp.abs(emb0).max() + 1e-12) * 10.0
+        a, b = find_ab_params(self.spread, self.min_dist)
         emb = _optimize(emb0, heads, tails, w_edges,
                         jax.random.PRNGKey(self.random_state),
                         n_epochs=self.n_epochs,
-                        negative_sample_rate=self.negative_sample_rate)
+                        negative_sample_rate=self.negative_sample_rate,
+                        a=a, b=b)
         return np.asarray(emb)
 
 

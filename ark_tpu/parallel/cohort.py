@@ -9,6 +9,7 @@ statistics reduce over ICI with psum."""
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Callable, Dict
 
 import jax
@@ -17,11 +18,32 @@ import numpy as np
 from ark_tpu.ops import image_filters, som as som_ops
 from ark_tpu.parallel import mesh as mesh_utils
 
+# jitted vmap per distinct fn OBJECT: callers that pass the same function
+# repeatedly (module-level per-FOV fns) compile once per shape instead of
+# retracing every call — compiles on the dev attach cost 30 s-10 min, so a
+# per-call jax.jit(...) wrapper would dominate cohort batching
+_vmapped_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _vmapped(fn: Callable):
+    try:
+        prog = _vmapped_cache.get(fn)
+    except TypeError:                  # unhashable/unweakrefable callable
+        return jax.jit(jax.vmap(fn))
+    if prog is None:
+        prog = jax.jit(jax.vmap(fn))
+        _vmapped_cache[fn] = prog
+    return prog
+
 
 def map_over_fovs(fn: Callable, fov_batch: np.ndarray, mesh,
                   axis_name: str = mesh_utils.FOV_AXIS):
     """Apply a jitted per-FOV function over a (B, ...) batch sharded across
-    the mesh; B is padded to a multiple of the mesh size (padding dropped)."""
+    the mesh; B is padded to a multiple of the mesh size (padding dropped).
+
+    The jitted program is cached per `fn` object — pass the SAME function
+    object across calls (module-level, not a fresh closure) to avoid
+    recompiling every batch."""
     n = fov_batch.shape[0]
     n_dev = mesh.devices.size
     n_pad = mesh_utils.pad_to_multiple(n, n_dev)
@@ -30,30 +52,32 @@ def map_over_fovs(fn: Callable, fov_batch: np.ndarray, mesh,
         fov_batch = np.concatenate([fov_batch, pad])
     sharding = mesh_utils.fov_sharding(mesh, axis_name)
     batch = jax.device_put(jnp.asarray(fov_batch), sharding)
-    out = jax.jit(jax.vmap(fn))(batch)
+    out = _vmapped(fn)(batch)
     return jax.tree.map(lambda x: np.asarray(x)[:n], out)
 
 
-@functools.partial(jax.jit, static_argnames=("blur_factor",),
-                   donate_argnums=())
-def _pixel_stage(imgs, channel_norms, pixel_thresh, som_weights_packed,
-                 wbig, w2_p, blur_factor: int = 2):
-    """One fused device program for a FOV batch of the Pixie pixel pipeline:
-    channel-norm divide → Gaussian blur → threshold mask → rownorm →
-    packed-BMU SOM assignment. imgs: (B, H, W, C)."""
-    b, h, w, c = imgs.shape
-    x = imgs.astype(jnp.float32) / channel_norms
-    x = image_filters.gaussian_blur_batch(x, sigma=blur_factor)
-    mat = x.reshape(b, h * w, c)
-    rowsums = jnp.sum(mat, axis=2)
-    valid = (rowsums > pixel_thresh) & jnp.any(mat != 0, axis=2)
-    norm = mat / jnp.where(rowsums == 0, 1.0, rowsums)[..., None]
-    norm = norm / som_weights_packed  # post-rownorm 99.9% channel norms
-    # BMU assign whole batch (XLA path; pallas variant used at FOV scale)
-    idx, _ = som_ops.bmu_xla(
-        wbig, norm.reshape(b * h * w, c))
-    clusters = (idx + 1).reshape(b, h * w)
-    return norm, valid, jnp.where(valid, clusters, 0)
+def _pixel_per_fov(img, channel_norms, pixel_thresh, post_norms,
+                   som_weights, blur_factor):
+    x = img.astype(jnp.float32) / channel_norms
+    x = image_filters.gaussian_blur(x, sigma=blur_factor)
+    h, w, c = x.shape
+    mat = x.reshape(h * w, c)
+    rowsums = jnp.sum(mat, axis=1)
+    valid = (rowsums > pixel_thresh) & jnp.any(mat != 0, axis=1)
+    norm = mat / jnp.where(rowsums == 0, 1.0, rowsums)[:, None]
+    norm = norm / post_norms
+    idx, _ = som_ops.bmu_xla(som_weights, norm)
+    clusters = jnp.where(valid, idx + 1, 0).astype(jnp.int32)
+    return {"pixel_mat": norm, "valid": valid, "som_clusters": clusters}
+
+
+@functools.partial(jax.jit, static_argnames=("blur_factor",))
+def _pixel_cohort_program(batch, channel_norms, pixel_thresh, post_norms,
+                          som_weights, blur_factor):
+    return jax.vmap(functools.partial(
+        _pixel_per_fov, channel_norms=channel_norms,
+        pixel_thresh=pixel_thresh, post_norms=post_norms,
+        som_weights=som_weights, blur_factor=blur_factor))(batch)
 
 
 def run_pixel_cohort(fov_batches, channel_norms, pixel_thresh,
@@ -72,23 +96,38 @@ def run_pixel_cohort(fov_batches, channel_norms, pixel_thresh,
 
     Returns dict with 'pixel_mat' (B, H·W, C), 'valid' (B, H·W) bool,
     'som_clusters' (B, H·W) int32 (0 = filtered out).
+
+    Normalization params are traced ARGUMENTS of one module-level jitted
+    program (not closure constants), so successive cohort batches of the
+    same shape reuse a single compiled executable.
     """
     mesh = mesh or mesh_utils.get_mesh()
+    fov_batches = np.asarray(fov_batches)
+    n = fov_batches.shape[0]
+    n_pad = mesh_utils.pad_to_multiple(n, mesh.devices.size)
+    if n_pad != n:
+        pad = np.zeros((n_pad - n,) + fov_batches.shape[1:],
+                       fov_batches.dtype)
+        fov_batches = np.concatenate([fov_batches, pad])
+    sharding = mesh_utils.fov_sharding(mesh)
+    batch = jax.device_put(jnp.asarray(fov_batches), sharding)
+    out = _pixel_cohort_program(
+        batch, jnp.asarray(channel_norms, jnp.float32),
+        jnp.float32(pixel_thresh), jnp.asarray(post_norms, jnp.float32),
+        jnp.asarray(som_weights, jnp.float32), blur_factor)
+    return jax.tree.map(lambda x: np.asarray(x)[:n], out)
 
-    def per_fov(img):
-        x = img.astype(jnp.float32) / jnp.asarray(channel_norms, jnp.float32)
-        x = image_filters.gaussian_blur(x, sigma=blur_factor)
-        h, w, c = x.shape
-        mat = x.reshape(h * w, c)
-        rowsums = jnp.sum(mat, axis=1)
-        valid = (rowsums > pixel_thresh) & jnp.any(mat != 0, axis=1)
-        norm = mat / jnp.where(rowsums == 0, 1.0, rowsums)[:, None]
-        norm = norm / jnp.asarray(post_norms, jnp.float32)
-        idx, _ = som_ops.bmu_xla(jnp.asarray(som_weights, jnp.float32), norm)
-        clusters = jnp.where(valid, idx + 1, 0).astype(jnp.int32)
-        return {"pixel_mat": norm, "valid": valid, "som_clusters": clusters}
 
-    return map_over_fovs(per_fov, np.asarray(fov_batches), mesh)
+def _percentile_per_fov(img, q):
+    c = img.shape[-1]
+    flat = img.reshape(-1, c).astype(jnp.float32)
+    masked = jnp.where(flat > 0, flat, jnp.nan)
+    return jnp.nanquantile(masked, q, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("q",))
+def _percentile_program(batch, q):
+    return jax.vmap(functools.partial(_percentile_per_fov, q=q))(batch)
 
 
 def cohort_channel_percentiles(fov_batches: np.ndarray, q: float,
@@ -97,12 +136,14 @@ def cohort_channel_percentiles(fov_batches: np.ndarray, q: float,
     sharded (the cohort normalization statistic of
     `pixel_cluster_utils.py:16-60`)."""
     mesh = mesh or mesh_utils.get_mesh()
-
-    def per_fov(img):
-        c = img.shape[-1]
-        flat = img.reshape(-1, c).astype(jnp.float32)
-        masked = jnp.where(flat > 0, flat, jnp.nan)
-        return jnp.nanquantile(masked, q, axis=0)
-
-    per_fov_vals = map_over_fovs(per_fov, np.asarray(fov_batches), mesh)
+    fov_batches = np.asarray(fov_batches)
+    n = fov_batches.shape[0]
+    n_pad = mesh_utils.pad_to_multiple(n, mesh.devices.size)
+    if n_pad != n:
+        pad = np.zeros((n_pad - n,) + fov_batches.shape[1:],
+                       fov_batches.dtype)
+        fov_batches = np.concatenate([fov_batches, pad])
+    batch = jax.device_put(jnp.asarray(fov_batches),
+                           mesh_utils.fov_sharding(mesh))
+    per_fov_vals = np.asarray(_percentile_program(batch, q))[:n]
     return np.nanmean(per_fov_vals, axis=0)

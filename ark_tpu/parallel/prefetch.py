@@ -39,25 +39,52 @@ class PrefetchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.buffer_size)
         sentinel = object()
         error_holder = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for item in self.items:
+                    if stop.is_set():
+                        return
                     data = self.load_fn(item)
                     if self.device_put is not None:
                         data = jax.device_put(data, self.device_put)
-                    q.put((item, data))
+                    # bounded put that notices consumer abandonment: a
+                    # consumer that breaks out of the loop would otherwise
+                    # leave this thread blocked forever on a full queue,
+                    # pinning the decoded batch (and device buffers)
+                    while not stop.is_set():
+                        try:
+                            q.put((item, data), timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
             except Exception as e:  # propagate to consumer
                 error_holder.append(e)
             finally:
-                q.put(sentinel)
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            out = q.get()
-            if out is sentinel:
-                if error_holder:
-                    raise error_holder[0]
-                return
-            yield out
+        try:
+            while True:
+                out = q.get()
+                if out is sentinel:
+                    if error_holder:
+                        raise error_holder[0]
+                    return
+                yield out
+        finally:
+            # consumer done or abandoned (break / GeneratorExit): release
+            # the producer and drop any buffered batches
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

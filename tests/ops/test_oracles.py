@@ -271,7 +271,12 @@ def _boundaries_oracle(labels, connectivity, mode):
                     out[y, x] = True
                 elif mode == "inner" and me > 0:
                     out[y, x] = True
-                elif mode == "outer" and (me == 0 or other == 0):
+                elif mode == "outer" and (
+                        # skimage: outline lives in the BACKGROUND; when
+                        # two objects touch, the higher-label side of the
+                        # interface is marked too (grey-erosion with
+                        # background set to int-max)
+                        me == 0 or (other != 0 and other < me)):
                     out[y, x] = True
     return out
 
@@ -456,3 +461,49 @@ def test_crofton_perimeter_disk_accuracy(rng):
     got = float(np.asarray(sr.crofton_perimeter(jnp.asarray(labels), 2))[1])
     want = 2 * np.pi * 40
     assert got == pytest.approx(want, rel=0.03)
+
+
+def test_cdist_self_distance_diagonal_exactly_zero(rng):
+    from ark_tpu.ops import distances as dist_ops
+    pts = rng.normal(scale=10.0, size=(50, 2)).astype(np.float32)
+    d = dist_ops.cdist(pts)
+    assert (np.diag(d) == 0.0).all()
+    dz = np.asarray(dist_ops.pairwise_distances(
+        jnp.asarray(pts), jnp.asarray(pts), zero_diagonal=True))
+    assert (np.diag(dz) == 0.0).all()
+    # off-diagonal agrees with scipy
+    from scipy.spatial.distance import cdist as sp_cdist
+    np.testing.assert_allclose(d, sp_cdist(pts, pts), atol=1e-3)
+
+
+def test_relabel_float64_values_exact_regardless_of_size():
+    from ark_tpu.ops import relabel
+    big_val = float(2**24 + 3)        # not representable in float32
+    img = np.ones((8, 8), np.int32)
+    for use_device in (True, False):
+        out = relabel.relabel_segmentation(
+            {1: big_val}, unassigned_id=0.0, labeled_image=img,
+            use_device=use_device)
+        assert out.dtype == np.float64
+        assert (out == big_val).all(), use_device
+
+
+def test_umap_min_dist_changes_ab_curve():
+    from ark_tpu.ops.umap import find_ab_params
+    a1, b1 = find_ab_params(1.0, 0.1)
+    np.testing.assert_allclose([a1, b1], [1.576943, 0.895061], rtol=1e-6)
+    a5, b5 = find_ab_params(1.0, 0.5)
+    # umap-learn's fitted values for min_dist=0.5
+    np.testing.assert_allclose([a5, b5], [0.5830, 1.3342], rtol=1e-3)
+    from ark_tpu.ops.umap import UMAP
+    assert UMAP(min_dist=0.25).min_dist == 0.25
+
+
+def test_som_map_empty_respects_return_dist_contract(rng):
+    from ark_tpu.ops import som as som_k
+    w = rng.random((100, 4)).astype(np.float32)
+    empty = np.empty((0, 4), np.float32)
+    clusters, dist = som_k.som_map(w, empty, return_dist=False)
+    assert clusters.shape == (0,) and dist is None
+    clusters, dist = som_k.som_map(w, empty, return_dist=True)
+    assert dist is not None and dist.shape == (0,)

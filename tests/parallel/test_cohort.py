@@ -169,3 +169,23 @@ def test_cohort_channel_percentiles_matches_numpy(rng):
         want.append([np.quantile(flat[:, k][flat[:, k] > 0], 0.9)
                      for k in range(3)])
     np.testing.assert_allclose(got, np.mean(want, axis=0), rtol=1e-4)
+
+
+def test_run_pixel_cohort_does_not_retrace_per_call(rng):
+    """Cohort batches of the same shape must reuse one compiled program
+    (remote compiles cost 30 s-10 min on the dev attach; the old per-call
+    jit(vmap(closure)) retraced every batch)."""
+    from ark_tpu.parallel import cohort
+    batch = rng.random((8, 16, 16, 3)).astype(np.float32)
+    norms = np.ones(3, np.float32)
+    post = np.ones(3, np.float32)
+    w = rng.random((100, 3)).astype(np.float32)
+    mesh = mesh_utils.get_mesh()
+    cohort.run_pixel_cohort(batch, norms, 0.05, post, w, mesh=mesh)
+    before = cohort._pixel_cohort_program._cache_size()
+    cohort.run_pixel_cohort(batch * 1.5, norms, 0.05, post, w, mesh=mesh)
+    assert cohort._pixel_cohort_program._cache_size() == before
+    cohort.cohort_channel_percentiles(batch, 0.99, mesh=mesh)
+    b2 = cohort._percentile_program._cache_size()
+    cohort.cohort_channel_percentiles(batch * 2.0, 0.99, mesh=mesh)
+    assert cohort._percentile_program._cache_size() == b2

@@ -80,3 +80,25 @@ def test_empty_and_single_item_lists():
 def test_buffer_size_floor_is_one():
     loader = PrefetchLoader(range(3), lambda x: x, buffer_size=0)
     assert [v for _, v in loader] == [0, 1, 2]
+
+
+def test_abandoned_iteration_releases_producer():
+    """A consumer that breaks early must not leave the producer thread
+    blocked on a full queue (pinning loaded batches forever)."""
+    before = set(threading.enumerate())
+    loader = PrefetchLoader(range(100), lambda x: x, buffer_size=2)
+    for _, v in loader:
+        if v == 1:
+            break
+    # the producer spawned by THIS iteration must wind down once the
+    # generator is closed (compare against the pre-existing thread set —
+    # other machinery may keep its own daemons alive)
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline:
+        new = [t for t in threading.enumerate()
+               if t not in before and t.is_alive()]
+        if not new:
+            break
+        time.sleep(0.05)
+    assert not [t for t in threading.enumerate()
+                if t not in before and t.is_alive()]
