@@ -22,9 +22,36 @@ _lib = None
 
 
 def _build():
+    """Compile to a temp path, then atomically publish with os.replace —
+    two processes building concurrently (test suite + benchmark, sharded
+    cohort workers) must never dlopen a half-written ELF or truncate a
+    library another process has mapped. An fcntl lock serializes the
+    g++ invocations themselves."""
+    import fcntl
+    import tempfile
+
     os.makedirs(os.path.dirname(_LIB), exist_ok=True)
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
-    subprocess.run(cmd, check=True, capture_output=True)
+    lock_path = _LIB + ".lock"
+    with open(lock_path, "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        try:
+            # another process may have finished the build while we waited
+            if (os.path.exists(_LIB)
+                    and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
+                return
+            fd, tmp = tempfile.mkstemp(suffix=".so",
+                                       dir=os.path.dirname(_LIB))
+            os.close(fd)
+            try:
+                cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                       _SRC, "-o", tmp]
+                subprocess.run(cmd, check=True, capture_output=True)
+                os.replace(tmp, _LIB)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+        finally:
+            fcntl.flock(lock_f, fcntl.LOCK_UN)
 
 
 def get_lib() -> ctypes.CDLL:
