@@ -167,8 +167,21 @@ def generate_som_avg_files(fovs, channels, base_dir, pixel_pysom,
         print("Overwrite flag set, regenerating SOM cluster channel average file")
 
     print("Computing average channel expression across pixel SOM clusters")
+    # the seen-set (reference `pixel_som_clustering.py:360`) is only
+    # populated by assignments made in THIS process: in a resumed session
+    # (cluster_pixels skipped everything) it is empty, and the reference
+    # passes 0 and always raises — fall back to an unchecked average with
+    # a warning instead of wedging the resume
+    expected = None
+    if require_all_som_clusters:
+        if pixel_pysom.som_clusters_seen:
+            expected = len(pixel_pysom.som_clusters_seen)
+        else:
+            import warnings
+            warnings.warn(
+                "no SOM assignments ran in this session (resumed run): "
+                "skipping the all-clusters completeness check")
     avg = pixel_cluster_utils.compute_pixel_cluster_channel_avg(
-        fovs, channels, base_dir, "pixel_som_cluster",
-        len(pixel_pysom.som_clusters_seen) if require_all_som_clusters else None,
+        fovs, channels, base_dir, "pixel_som_cluster", expected,
         data_dir, num_fovs_subset=num_fovs_subset, seed=seed, keep_count=True)
     avg.to_csv(som_cluster_avg_path, index=False)

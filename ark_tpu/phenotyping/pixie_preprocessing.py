@@ -167,14 +167,23 @@ def create_pixel_matrix(fovs, channels, base_dir, tiff_dir, seg_dir,
     fovs_full = io_utils.remove_file_extensions(
         list(set(fovs_sub).intersection(fovs_data)))
     fovs_list = list(set(fovs).difference(fovs_full))
-    if len(fovs_list) == 0:
-        print("There are no more FOVs to preprocess, skipping")
-        return
     quant_dat_all = pd.read_csv(quantile_path, index_col="channel") \
         if os.path.exists(quantile_path) else pd.DataFrame()
-    quant_missing = set(fovs).difference(quant_dat_all.columns)
-    fovs_list = list(set(fovs_list).union(quant_missing))
-    if len(fovs_list) < len(fovs):
+    norm_post_path = os.path.join(base_dir, norm_vals_name_post_rownorm)
+    # the per-FOV quantile CSV is an intermediate, deleted once the cohort
+    # norm file is written — its columns only gate resume while the norm
+    # file is still missing
+    if not os.path.exists(norm_post_path):
+        quant_missing = set(fovs).difference(quant_dat_all.columns)
+        fovs_list = list(set(fovs_list).union(quant_missing))
+    # skip ONLY when the stage's final artifact exists too: a run killed
+    # after the last FOV but before the cohort-norm write must fall
+    # through (empty loop) so the norm file still gets produced —
+    # returning on feather-completeness alone wedges resume forever
+    if len(fovs_list) == 0 and os.path.exists(norm_post_path):
+        print("There are no more FOVs to preprocess, skipping")
+        return
+    if 0 < len(fovs_list) < len(fovs):
         print(f"Restarting preprocessing from FOV {fovs_list[0]}, "
               f"{len(fovs_list)} fovs left to process")
 

@@ -39,10 +39,13 @@ def overlay_mask_outlines(fov, channel, image_dir, sub_folder_name, mask_name,
     """Overlay red mask outlines on a base channel image."""
     if sub_folder_name is None:
         sub_folder_name = ""
-    image_dir = pathlib.Path(image_dir) / sub_folder_name
+    image_dir = pathlib.Path(image_dir)
     mask_dir = pathlib.Path(mask_dir)
     io_utils.validate_paths([image_dir, mask_dir])
-    channel_image_path = image_dir / fov / f"{channel}.tiff"
+    # cohort tree layout: image_dir/<fov>/<sub_folder>/<channel>.tiff
+    # (the subfolder sits INSIDE each FOV folder, same as
+    # load_imgs_from_tree and display_channel_image above)
+    channel_image_path = image_dir / fov / sub_folder_name / f"{channel}.tiff"
     mask_image_path = mask_dir / f"{fov}_{mask_name}.tiff"
     io_utils.validate_paths(paths=[channel_image_path, mask_image_path])
 

@@ -45,12 +45,17 @@ def renumber_masks(mask_dir):
         unique_labels = np.unique(img)
         global_unique_labels += len(unique_labels[unique_labels != 0])
     for image in mask_dir_path.rglob("*.tiff"):
-        img = read_image(str(image)).copy()
+        img = read_image(str(image))
+        # relabel through a fresh output array: the reference's in-place
+        # `img[img == label] = new` merges two objects whenever a new id
+        # collides with a still-pending original label (non-contiguous
+        # ez_seg ids make label values exceed the label COUNT routinely)
+        out = np.zeros_like(img)
         for label in np.unique(img):
             if label != 0:
-                img[img == label] = global_unique_labels
+                out[img == label] = global_unique_labels
                 global_unique_labels += 1
-        save_image(str(image), img)
+        save_image(str(image), out)
     print("Relabeling Complete.")
 
 

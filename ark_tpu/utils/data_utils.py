@@ -499,6 +499,11 @@ class ConvertToAnnData:
         obs_names = [settings.CELL_LABEL, settings.CELL_SIZE,
                      *ct_columns[obs_index_start:].to_list(),
                      *extra_obs_parameters]
+        # the extras are validated to be a SUBSET of the post-channel
+        # columns already spread above, so they always duplicate (the
+        # reference ships this bug, data_utils.py:957-961, and its writer
+        # crashes on the duplicated obs column) — dedup preserving order
+        obs_names = list(dict.fromkeys(obs_names))
         if settings.CELL_SIZE in obs_names:
             obs_names.remove(settings.CELL_SIZE)
             if "area" not in obs_names:

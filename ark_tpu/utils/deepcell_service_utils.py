@@ -12,6 +12,7 @@ for compatibility and ignored; `zip_size` becomes the device batch size."""
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -35,15 +36,32 @@ def generate_deepcell_input(data_dir, tiff_dir, nuc_channels, mem_channels,
             tiff_dir, img_sub_folder=img_sub_folder, fovs=[fov],
             channels=channels)
         fov_name = list(data_xr.coords["fovs"])[0]
-        out = np.zeros((2, data_xr.shape[1], data_xr.shape[2]),
-                       dtype=data_xr.values.dtype)
+        in_dtype = data_xr.values.dtype
+        is_int = np.issubdtype(in_dtype, np.integer)
+        # accumulate wide: a multi-channel sum overflows the input dtype
+        # (three ~30k-count uint16 membrane channels wrap to garbage); the
+        # reference sums straight into the input dtype and also never
+        # reads its `dtype` parameter
+        acc = np.zeros((2, data_xr.shape[1], data_xr.shape[2]),
+                       dtype=np.int64 if is_int else np.float64)
         if nuc_channels:
-            out[0] = np.sum(data_xr.sel(
-                fovs=fov_name, channels=list(nuc_channels)).values, axis=-1)
+            acc[0] = np.sum(data_xr.sel(
+                fovs=fov_name, channels=list(nuc_channels)).values,
+                axis=-1, dtype=acc.dtype)
         if mem_channels:
-            out[1] = np.sum(data_xr.sel(
-                fovs=fov_name, channels=list(mem_channels)).values, axis=-1)
-        save_image(os.path.join(data_dir, f"{fov_name}.tiff"), out)
+            acc[1] = np.sum(data_xr.sel(
+                fovs=fov_name, channels=list(mem_channels)).values,
+                axis=-1, dtype=acc.dtype)
+        out_dtype = np.dtype(dtype) if is_int else in_dtype
+        if is_int and acc.max() > np.iinfo(out_dtype).max:
+            promoted = np.promote_types(
+                out_dtype, np.min_scalar_type(int(acc.max())))
+            warnings.warn(
+                f"summed channel counts exceed {out_dtype}; writing "
+                f"{fov_name}.tiff as {promoted}")
+            out_dtype = promoted
+        save_image(os.path.join(data_dir, f"{fov_name}.tiff"),
+                   acc.astype(out_dtype))
 
 
 def zip_input_files(deepcell_input_dir, fov_group, batch_num):

@@ -354,13 +354,13 @@ def create_mantis_dir(fovs: List[str], mantis_project_path, img_data_path,
     mask_names_loaded = io_utils.list_files(mask_output_dir, mask_suffix)
     mask_names_delimited = [mn.split(mask_suffix)[0]
                             for mn in mask_names_loaded]
-    mask_names_sorted = natsorted(mask_names_delimited)
     fovs = natsorted(fovs)
     verify_in_list(fovs=fovs, img_data_fovs=mask_names_delimited)
-    mask_names = [mn for mn in mask_names_sorted
-                  if any(f in mn for f in fovs)]
-
-    for fov, mn in zip(fovs, mask_names):
+    # pair each FOV with ITS mask by exact name — a substring filter +
+    # zip mispairs when one requested FOV is a prefix of an unrequested
+    # mask's FOV name (fov1 matching fov10's mask shifts the whole zip)
+    for fov in fovs:
+        mn = fov
         img_source_dir = os.path.join(img_data_path, fov, img_sub_folder)
         output_dir = os.path.join(mantis_project_path, fov)
         if not os.path.exists(output_dir):

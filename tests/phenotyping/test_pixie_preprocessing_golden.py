@@ -172,3 +172,66 @@ def test_preprocess_fov_deterministic_subset(cohort):
     pd.testing.assert_frame_equal(s1, s2)    # seeded subset is reproducible
     pd.testing.assert_frame_equal(m1.reset_index(drop=True),
                                   m2.reset_index(drop=True))
+
+
+def test_resume_heals_missing_cohort_norm_file(cohort, capsys):
+    """Run killed between the last FOV and the cohort-norm write: feathers
+    + quantile CSV complete, norm file absent. The rerun must produce the
+    norm file instead of skipping forever (the old early return fired on
+    feather-completeness alone and wedged resume permanently)."""
+    base, _ = cohort
+    _run(base)
+    norm_path = base / "channel_norm_post_rownorm.feather"
+    saved_norm = feather.read_dataframe(norm_path)
+    # reconstruct the killed-run state: norm missing, quantile CSV present
+    quant_csv = base / "pixel_mat_data" / "channel_norm_post_rownorm_perfov.csv"
+    quants = {}
+    for fov in ("fov0", "fov1", "fov2"):
+        df = feather.read_dataframe(base / "pixel_mat_data" / f"{fov}.feather")
+        chans = [c for c in df.columns
+                 if c not in ("fov", "row_index", "column_index", "label")]
+        quants[fov] = df[chans].replace(0, np.nan).quantile(0.999)
+    pd.DataFrame(quants).rename_axis("channel").to_csv(quant_csv)
+    norm_path.unlink()
+
+    capsys.readouterr()
+    _run(base)
+    out = capsys.readouterr().out
+    assert "no more FOVs" not in out          # it did real healing work
+    assert norm_path.exists()
+    healed = feather.read_dataframe(norm_path)
+    pd.testing.assert_frame_equal(
+        healed, saved_norm, check_exact=False, rtol=1e-6)
+    assert not quant_csv.exists()             # intermediate cleaned up
+
+    # and a THIRD run now skips cleanly
+    capsys.readouterr()
+    _run(base)
+    assert "no more FOVs" in capsys.readouterr().out
+
+
+def test_som_avg_files_in_resumed_session_does_not_crash(cohort, capsys):
+    """generate_som_avg_files after a resume where cluster_pixels skipped
+    everything: som_clusters_seen is empty — must warn + fall back, not
+    pass 0 as the expected cluster count (the reference raises here)."""
+    import warnings as _warnings
+    from ark_tpu.phenotyping import pixel_som_clustering as psc
+    base, _ = cohort
+    _run(base)
+    pysom = psc.train_pixel_som(
+        ["fov0", "fov1", "fov2"], sorted(CHANNELS), str(base),
+        norm_vals_name="channel_norm_post_rownorm.feather")
+    psc.cluster_pixels(["fov0", "fov1", "fov2"], str(base), pysom,
+                       data_dir="pixel_mat_data")
+    # fresh session object: nothing assigned in-process
+    pysom2 = psc.train_pixel_som(
+        ["fov0", "fov1", "fov2"], sorted(CHANNELS), str(base),
+        norm_vals_name="channel_norm_post_rownorm.feather")
+    assert not pysom2.som_clusters_seen
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        psc.generate_som_avg_files(
+            ["fov0", "fov1", "fov2"], sorted(CHANNELS), str(base), pysom2,
+            data_dir="pixel_mat_data")
+    assert any("resumed run" in str(x.message) for x in w)
+    assert (base / "pixel_channel_avg_som_cluster.csv").exists()

@@ -154,3 +154,27 @@ def test_ez_seg_display(rng, tmp_path):
         fov, "plaque", str(obj_dir), str(cell_dir), "whole_cell",
         str(merged_dir))
     plt.close("all")
+
+
+def test_renumber_masks_with_noncontiguous_labels(tmp_path):
+    """Non-contiguous ids (the ez_seg norm after area filtering/merging):
+    a new id equal to a still-pending original label must NOT merge two
+    objects (the reference's in-place relabel does exactly that)."""
+    from ark_tpu.io.image_utils import read_image, save_image
+    mdir = tmp_path / "masks"
+    mdir.mkdir()
+    img = np.zeros((10, 10), np.int32)
+    img[0:2, 0:2] = 1
+    img[0:2, 5:7] = 2
+    img[5:7, 0:2] = 3
+    img[5:7, 5:7] = 7          # gap: label value exceeds the label count
+    save_image(str(mdir / "fovA_obj.tiff"), img)
+    ez_seg_utils.renumber_masks(str(mdir))
+    out = read_image(str(mdir / "fovA_obj.tiff"))
+    labels = sorted(np.unique(out[out > 0]))
+    assert len(labels) == 4, f"objects merged: {labels}"
+    # each original object kept its own (unique) new id
+    for sl in [(slice(0, 2), slice(0, 2)), (slice(0, 2), slice(5, 7)),
+               (slice(5, 7), slice(0, 2)), (slice(5, 7), slice(5, 7))]:
+        vals = np.unique(out[sl])
+        assert len(vals) == 1 and vals[0] > 0

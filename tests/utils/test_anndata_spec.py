@@ -116,3 +116,30 @@ def test_h5ad_readable_without_optional_groups(tmp_path):
             del f[extra]
     ad = data_utils.AnnDataLite.read_h5ad(path)
     assert ad.n_obs == 2 and ad.var_names == ["m0", "m1", "m2"]
+
+
+def test_extra_obs_parameters_do_not_duplicate_columns(tmp_path, rng):
+    """ConvertToAnnData(extra_obs_parameters=[...]) used to spread the
+    extras on top of the post-channel columns they are a subset of,
+    duplicating obs names and crashing the h5ad writer."""
+    from ark_tpu import settings
+    from ark_tpu.utils.data_utils import ConvertToAnnData, AnnDataLite
+    n = 20
+    table = pd.DataFrame({
+        settings.FOV_ID: ["fovA"] * n,
+        settings.CELL_LABEL: np.arange(1, n + 1),
+        settings.CELL_SIZE: rng.integers(20, 90, n).astype(float),
+        "CD45": rng.random(n), "CD3": rng.random(n),
+        settings.POST_CHANNEL_COL: np.arange(1, n + 1),
+        settings.CENTROID_0: rng.uniform(0, 64, n),
+        settings.CENTROID_1: rng.uniform(0, 64, n),
+        "my_extra": rng.random(n)})
+    path = tmp_path / "cell_table.csv"
+    table.to_csv(path, index=False)
+    conv = ConvertToAnnData(str(path), extra_obs_parameters=["my_extra"])
+    assert len(conv.obs_names) == len(set(conv.obs_names))
+    assert "my_extra" in conv.obs_names
+    out_dir = tmp_path / "adata"
+    paths = conv.convert_to_adata(str(out_dir))
+    ad = AnnDataLite.read_h5ad(list(paths.values())[0])
+    assert "my_extra" in ad.obs.columns

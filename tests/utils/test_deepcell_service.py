@@ -133,3 +133,26 @@ def test_create_deepcell_output_validation_and_resume(tmp_path, capsys):
     dsu.create_deepcell_output(input_dir, out_dir, fovs=fovs,
                                weights_path=CKPT)
     assert "All FOVs already segmented" in capsys.readouterr().out
+
+
+def test_generate_input_does_not_overflow_integer_channels(tmp_path):
+    """Three ~30k-count uint16 membrane channels sum to 90k: the input
+    TIFF must carry 90k (promoted dtype + warning), not a wrapped value."""
+    import warnings as _warnings
+    from ark_tpu.io.image_utils import read_image, save_image
+    tiff_dir = tmp_path / "tiffs"
+    out_dir = tmp_path / "input"
+    out_dir.mkdir()
+    (tiff_dir / "fovX").mkdir(parents=True)
+    for chan in ("nuc", "mem1", "mem2", "mem3"):
+        save_image(str(tiff_dir / "fovX" / f"{chan}.tiff"),
+                   np.full((16, 16), 30000, np.uint16))
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        dsu.generate_deepcell_input(
+            str(out_dir), str(tiff_dir), ["nuc"], ["mem1", "mem2", "mem3"],
+            ["fovX"], img_sub_folder=None)
+    assert any("exceed" in str(x.message) for x in w)
+    out = read_image(str(out_dir / "fovX.tiff"))
+    assert out[1].max() == 90000          # membrane sum intact
+    assert out[0].max() == 30000

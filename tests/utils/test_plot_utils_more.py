@@ -164,3 +164,38 @@ def test_plot_continuous_variable_figure(rng):
         cmap=matplotlib.colormaps["viridis"], dpi=50, figsize=(2, 2))
     assert fig.axes  # image + colorbar
     plt.close(fig)
+
+
+def test_mantis_dir_pairs_masks_by_exact_fov_name(tmp_path, rng):
+    """fov1 must get fov1's mask even when fov10 (unrequested, prefix
+    collision) also has a mask on disk — the old substring+zip pairing
+    shifted every copy by one."""
+    from ark_tpu.io.image_utils import read_image, save_image
+    img_dir = tmp_path / "images"
+    mask_dir = tmp_path / "masks"
+    seg_dir = tmp_path / "seg"
+    mantis = tmp_path / "mantis"
+    for d in (img_dir, mask_dir, seg_dir):
+        d.mkdir()
+    suffix = "_cell_mask"
+    for i, fov in enumerate(["fov1", "fov10", "fov12"]):
+        (img_dir / fov).mkdir()
+        save_image(str(img_dir / fov / "chan0.tiff"),
+                   rng.random((8, 8)).astype(np.float32))
+        save_image(str(mask_dir / f"{fov}{suffix}.tiff"),
+                   np.full((8, 8), i + 1, np.int32))
+        save_image(str(seg_dir / f"{fov}_whole_cell.tiff"),
+                   np.ones((8, 8), np.int32))
+    mapping = pd.DataFrame({
+        "cluster_id": [1], "cell_meta_cluster_rename": ["tumor"]})
+    plot_utils.create_mantis_dir(
+        fovs=["fov1", "fov12"], mantis_project_path=str(mantis),
+        img_data_path=str(img_dir), mask_output_dir=str(mask_dir),
+        mask_suffix=suffix, mapping=mapping, seg_dir=str(seg_dir),
+        cluster_type="cell", img_sub_folder="",
+        seg_suffix_name="_whole_cell.tiff")
+    # fov12's population mask must be fov12's (value 3), not fov10's (2)
+    pop = read_image(str(mantis / "fov12" / "population_cell_mask.tiff"))
+    assert (pop == 3).all()
+    pop1 = read_image(str(mantis / "fov1" / "population_cell_mask.tiff"))
+    assert (pop1 == 1).all()
