@@ -48,6 +48,24 @@ def load_dist_matrix(dist_mat_dir, fov) -> DataArray:
                                           str(fov) + "_dist_mat.xr"))
 
 
+def ensure_dist_matrices(cell_table, dist_mat_dir,
+                         fov_id=settings.FOV_ID, **calc_kwargs) -> None:
+    """Create any `<fov>_dist_mat.xr` files the table's FOVs are missing.
+
+    Per-FOV resume guard for the pipeline templates: a bare
+    `if not os.path.exists(dist_dir)` treats a directory left behind by a
+    killed `calc_dist_matrix` run as complete and wedges every rerun on
+    FileNotFoundError — here only the genuinely missing FOVs are computed.
+    """
+    os.makedirs(dist_mat_dir, exist_ok=True)
+    fovs = cell_table[fov_id].unique()
+    missing = [f for f in fovs if not os.path.exists(
+        os.path.join(dist_mat_dir, str(f) + "_dist_mat.xr"))]
+    if missing:
+        subset = cell_table[cell_table[fov_id].isin(missing)]
+        calc_dist_matrix(subset, dist_mat_dir, fov_id=fov_id, **calc_kwargs)
+
+
 def append_distance_features_to_dataset(fov, dist_matrix, cell_table,
                                         distance_columns):
     """Append per-cell distance features as pseudo-cells in both the cell

@@ -56,10 +56,16 @@ def _bench_tpu(n, c, k, reps=200):
 
     out = loop(data, w)
     np.asarray(out)  # warmup + force completion
+    # per-trial weight variants (defeating relay replay) are materialized
+    # BEFORE their timed windows: the eager multiply is its own dispatch,
+    # and the attach's ~30 ms fixed dispatch+readback latency inside the
+    # window would bias every trial (best-of-3 can't remove constant bias)
+    trial_ws = [jax.block_until_ready(w * (1.0001 + 1e-4 * t))
+                for t in range(3)]
     best = float("inf")
-    for trial in range(3):
+    for wt in trial_ws:
         t0 = time.perf_counter()
-        out = loop(data, w * (1.0001 + 1e-4 * trial))
+        out = loop(data, wt)
         np.asarray(out)
         best = min(best, (time.perf_counter() - t0) / reps)
     return n / best / 1e6  # Mpix/s

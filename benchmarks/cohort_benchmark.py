@@ -41,8 +41,12 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42):
     host_fov = rng.random((size, size, channels), dtype=np.float32)
     dev = jax.device_put(host_fov)
     jax.block_until_ready(dev)
+    # the perturbed copy only exists to defeat relay replay — materialize
+    # it BEFORE the timed window (a 67 MB host multiply costs tens of ms
+    # on a 1-core host and would inflate the measured transfer time)
+    host_fov2 = np.ascontiguousarray(host_fov * 1.001)
     t0 = time.perf_counter()
-    dev = jax.device_put(host_fov * 1.001)
+    dev = jax.device_put(host_fov2)
     jax.block_until_ready(dev)
     h2d_s = time.perf_counter() - t0
     h2d_gbps = host_fov.nbytes / h2d_s / 1e9

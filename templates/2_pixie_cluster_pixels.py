@@ -56,6 +56,12 @@ def main(base_dir, channels, fovs=None, img_sub_folder=None,
     # MetaClusterGui(mcd)   # interact, then:
     # pixel_meta_clustering.apply_pixel_meta_cluster_remapping(
     #     fovs, channels, base_dir, "pixel_mat_data", "pixel_remap.csv")
+    # pixel_meta_clustering.generate_remap_avg_files(
+    #     fovs, channels, base_dir, "pixel_mat_data", "pixel_remap.csv",
+    #     "pixel_channel_avg_som_cluster.csv",
+    #     "pixel_channel_avg_meta_cluster.csv")
+    # (the remap avg step adds the pixel_meta_cluster_rename column the
+    #  cell-clustering template's default pixel_cluster_col needs)
     print("pixel clustering complete")
 
 

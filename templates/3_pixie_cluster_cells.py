@@ -19,6 +19,24 @@ def main(base_dir, channels, cell_table_path, fovs=None,
         fovs = io_utils.remove_file_extensions(
             io_utils.list_files(pixel_data_dir, substrs=".feather"))
 
+    # the default column only exists after the interactive GUI remap of
+    # template 2; in a headless chain fall back to the columns the
+    # scripted flow actually produced instead of crashing with a KeyError
+    sample = feather.read_dataframe(
+        os.path.join(pixel_data_dir, fovs[0] + ".feather"))
+    if pixel_cluster_col not in sample.columns:
+        # c2pc accepts only the som or renamed-meta resolutions
+        # (reference cell_cluster_utils contract)
+        if "pixel_som_cluster" in sample.columns:
+            print(f"'{pixel_cluster_col}' not found in the pixel data "
+                  f"(interactive remap not applied); using "
+                  f"'pixel_som_cluster'")
+            pixel_cluster_col = "pixel_som_cluster"
+        else:
+            raise ValueError(
+                f"pixel data has no cluster columns; run template 2 first "
+                f"(columns: {list(sample.columns)})")
+
     # 1. cells × pixel-cluster counts (2-D bincount per FOV)
     cluster_counts, cluster_counts_norm = cell_cluster_utils.create_c2pc_data(
         fovs, pixel_data_dir, cell_table_path,
@@ -44,9 +62,12 @@ def main(base_dir, channels, cell_table_path, fovs=None,
         base_dir, cell_cc, count_cols, cell_som_input_data,
         "cell_som_cluster_count_avg.csv", "cell_meta_cluster_count_avg.csv")
 
-    # 4. weighted channel expression (cells×clusters · clusters×channels)
-    pixel_channel_avg = pd.read_csv(os.path.join(
-        base_dir, "pixel_channel_avg_meta_cluster.csv"))
+    # 4. weighted channel expression (cells×clusters · clusters×channels);
+    # the avg table must be keyed by the SAME cluster resolution
+    avg_name = ("pixel_channel_avg_som_cluster.csv"
+                if pixel_cluster_col == "pixel_som_cluster"
+                else "pixel_channel_avg_meta_cluster.csv")
+    pixel_channel_avg = pd.read_csv(os.path.join(base_dir, avg_name))
     weighted = weighted_channel_comp.compute_p2c_weighted_channel_avg(
         pixel_channel_avg, channels, cluster_counts, fovs=fovs,
         pixel_cluster_col=pixel_cluster_col)
@@ -67,5 +88,10 @@ if __name__ == "__main__":
     p.add_argument("--base_dir", required=True)
     p.add_argument("--channels", nargs="+", required=True)
     p.add_argument("--cell_table_path", required=True)
+    p.add_argument("--pixel_cluster_col",
+                   default="pixel_meta_cluster_rename",
+                   choices=["pixel_meta_cluster_rename",
+                            "pixel_som_cluster"])
     a = p.parse_args()
-    main(a.base_dir, a.channels, a.cell_table_path)
+    main(a.base_dir, a.channels, a.cell_table_path,
+         pixel_cluster_col=a.pixel_cluster_col)

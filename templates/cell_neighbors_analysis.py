@@ -17,9 +17,8 @@ def main(base_dir, cell_table_path, pixel_radius=50, k=5):
                                  "neighborhood_mats")
     os.makedirs(neighbors_dir, exist_ok=True)
     all_data = pd.read_csv(cell_table_path)
-    if not os.path.exists(dist_dir):
-        os.makedirs(dist_dir, exist_ok=True)
-        spatial_analysis_utils.calc_dist_matrix(all_data, dist_dir)
+    # per-FOV resume: only missing <fov>_dist_mat.xr files are computed
+    spatial_analysis_utils.ensure_dist_matrices(all_data, dist_dir)
 
     counts, freqs = neighborhood_analysis.create_neighborhood_matrix(
         all_data, dist_dir, distlim=pixel_radius)

@@ -13,9 +13,8 @@ from ark_tpu.analysis import spatial_analysis_utils, spatial_enrichment
 def main(base_dir, cell_table_path, dist_lim=100, bootstrap_num=100):
     dist_dir = os.path.join(base_dir, "spatial_analysis", "dist_mats")
     all_data = pd.read_csv(cell_table_path)
-    if not os.path.exists(dist_dir):
-        os.makedirs(dist_dir, exist_ok=True)
-        spatial_analysis_utils.calc_dist_matrix(all_data, dist_dir)
+    # per-FOV resume: only missing <fov>_dist_mat.xr files are computed
+    spatial_analysis_utils.ensure_dist_matrices(all_data, dist_dir)
 
     tables = []
     for fov in all_data["fov"].unique():

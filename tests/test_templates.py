@@ -398,3 +398,66 @@ def test_template_ome_tiff_roundtrip(tmp_path):
     to.main(base, direction="ome_to_fov")
     back = read_image(os.path.join(base, "image_data", "fovA", "c0.tiff"))
     np.testing.assert_allclose(back, orig, rtol=1e-6)
+
+
+def test_headless_pixie_chain_without_interactive_remap(cohort_dir,
+                                                        tmp_path, capsys):
+    """Template 2 followed directly by template 3 — no GUI remap in
+    between (the scripted reality). Template 3 must fall back from the
+    remap-only 'pixel_meta_cluster_rename' column instead of crashing."""
+    base_dir = str(tmp_path)
+    os.makedirs(os.path.join(base_dir, "pixel_output_dir"), exist_ok=True)
+    # reuse the shared synthetic cohort images
+    src, data = cohort_dir
+
+    import importlib
+    os.symlink(os.path.join(str(src), "image_data"),
+               os.path.join(base_dir, "image_data"))
+    t2 = importlib.import_module("2_pixie_cluster_pixels")
+    t2.main(base_dir, list(CHANNELS), fovs=FOVS, img_sub_folder=None,
+            seg_dir=os.path.join(str(src), "segmentation",
+                                 "deepcell_output"),
+            max_k=5, subset_proportion=0.5)
+
+    rows = []
+    for fov in FOVS:
+        labels = data[fov][0]
+        for lab in np.unique(labels)[1:]:
+            rows.append({"fov": fov, "label": int(lab),
+                         "cell_size": float((labels == lab).sum())})
+    cell_table_path = os.path.join(base_dir, "cell_table.csv")
+    pd.DataFrame(rows).to_csv(cell_table_path, index=False)
+
+    t3 = importlib.import_module("3_pixie_cluster_cells")
+    capsys.readouterr()
+    t3.main(base_dir, list(CHANNELS), cell_table_path, fovs=FOVS, max_k=3)
+    out = capsys.readouterr().out
+    assert "using 'pixel_som_cluster'" in out
+    assert os.path.exists(os.path.join(base_dir,
+                                       "weighted_cell_channel.feather"))
+
+
+def test_dist_matrix_per_fov_resume(tmp_path):
+    """A dist-mats dir left by a killed run is healed per-FOV, not
+    treated as complete (the old exists() guard wedged on the first
+    missing file)."""
+    from ark_tpu.analysis import spatial_analysis_utils as sau
+    rng = np.random.default_rng(12345)
+    rows = []
+    for fov in ["fovA", "fovB"]:
+        for i in range(1, 11):
+            rows.append({"fov": fov, "label": i,
+                         "centroid-0": rng.uniform(0, 100),
+                         "centroid-1": rng.uniform(0, 100)})
+    ct = pd.DataFrame(rows)
+    ddir = tmp_path / "dist_mats"
+    sau.ensure_dist_matrices(ct, str(ddir))
+    # simulate the killed run: one FOV's matrix lost
+    (ddir / "fovB_dist_mat.xr").unlink()
+    before = (ddir / "fovA_dist_mat.xr").stat().st_mtime_ns
+    sau.ensure_dist_matrices(ct, str(ddir))
+    assert (ddir / "fovB_dist_mat.xr").exists()            # healed
+    after = (ddir / "fovA_dist_mat.xr").stat().st_mtime_ns
+    assert before == after                                 # not recomputed
+    dm = sau.load_dist_matrix(str(ddir), "fovB")
+    assert dm.values.shape == (10, 10)
