@@ -26,7 +26,10 @@ def pairwise_distances(a: jax.Array, b: jax.Array,
     b = b.astype(jnp.float32)
     a2 = jnp.sum(a * a, axis=1)[:, None]
     b2 = jnp.sum(b * b, axis=1)[None, :]
-    d2 = a2 + b2 - 2.0 * (a @ b.T)
+    # HIGHEST: TPU's default bf16 matmul would round the coordinates
+    # (~0.4% relative) while the CPU suite validates true-f32 numerics
+    d2 = a2 + b2 - 2.0 * jnp.dot(a, b.T,
+                                 precision=jax.lax.Precision.HIGHEST)
     d = jnp.sqrt(jnp.maximum(d2, 0.0))
     if zero_diagonal:
         n, m = d.shape

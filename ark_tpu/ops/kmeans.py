@@ -30,7 +30,9 @@ def _plus_plus_init(key, data: jax.Array, k: int) -> jax.Array:
         # builds an (N, k, D) intermediate (~640 MB at 1M×10×16) per
         # seeding step — and n_init restarts vmap over this
         c2 = jnp.sum(centers * centers, axis=1)
-        pair = x2[:, None] - 2.0 * (data @ centers.T) + c2[None, :]
+        pair = x2[:, None] - 2.0 * jnp.dot(
+            data, centers.T,
+            precision=jax.lax.Precision.HIGHEST) + c2[None, :]
         d2 = jnp.min(jnp.maximum(pair, 0.0)
                      + jnp.where(jnp.arange(k)[None, :] < i, 0.0, jnp.inf),
                      axis=1)
@@ -53,7 +55,10 @@ def _kmeans_fit_impl(data: jax.Array, k: int, seed,
 
     def assign(centers):
         c2 = jnp.sum(centers * centers, axis=1)
-        d2 = x2[:, None] - 2.0 * (data @ centers.T) + c2[None, :]
+        # HIGHEST: f32 assignment parity on TPU (default matmul is bf16)
+        d2 = x2[:, None] - 2.0 * jnp.dot(
+            data, centers.T,
+            precision=jax.lax.Precision.HIGHEST) + c2[None, :]
         return jnp.argmin(d2, axis=1), jnp.maximum(jnp.min(d2, axis=1), 0.0)
 
     def step(centers, _):

@@ -171,27 +171,27 @@ def euler_numbers(labels: jax.Array, num_segments: int) -> jax.Array:
     return out.at[0].set(0.0)
 
 
-def _moment_features_from_sums(sums: jax.Array) -> dict:
-    """Derive the morphology dict from fused (S, 7) raw-moment sums
-    [m00, m10, m01, m20, m02, m11, perimeter]."""
-    m00, m10, m01 = sums[:, 0], sums[:, 1], sums[:, 2]
-    m20, m02, m11 = sums[:, 3], sums[:, 4], sums[:, 5]
-    perimeter = sums[:, 6].at[0].set(0.0)
-    safe = jnp.maximum(m00, 1.0)
-    cy, cx = m10 / safe, m01 / safe
-    mu20 = m20 / safe - cy * cy
-    mu02 = m02 / safe - cx * cx
-    mu11 = m11 / safe - cy * cx
-
+def _features_from_central(m00, cy, cx, mu20, mu02, mu11, perimeter) -> dict:
+    """Morphology dict from per-label CENTRAL second moments (already
+    divided by area)."""
     common = jnp.sqrt(jnp.maximum(4.0 * mu11 ** 2 + (mu20 - mu02) ** 2, 0.0))
     l1 = (mu20 + mu02 + common) / 2.0
     l2 = (mu20 + mu02 - common) / 2.0
     l2 = jnp.maximum(l2, 0.0)
     major = 4.0 * jnp.sqrt(jnp.maximum(l1, 0.0))
     minor = 4.0 * jnp.sqrt(l2)
-    ecc = jnp.sqrt(jnp.maximum(1.0 - l2 / jnp.maximum(l1, 1e-12), 0.0))
+    # skimage returns 0 for the degenerate l1 == 0 case (single pixel) —
+    # the limit of the ratio would otherwise misreport it as maximally
+    # eccentric
+    ecc = jnp.where(
+        l1 > 0.0,
+        jnp.sqrt(jnp.maximum(1.0 - l2 / jnp.maximum(l1, 1e-12), 0.0)),
+        0.0)
     eq_diam = jnp.sqrt(4.0 * m00 / jnp.pi)
-    orientation = 0.5 * jnp.arctan2(-2.0 * mu11, mu02 - mu20)
+    # skimage convention: angle between the row (0th) axis and the major
+    # axis, range (-pi/2, pi/2] — equals 0.5*atan2(2*mu11, mu20-mu02) in
+    # (row, col) central moments (verified against planted-angle ellipses)
+    orientation = 0.5 * jnp.arctan2(2.0 * mu11, mu20 - mu02)
 
     return {
         "area": m00,
@@ -206,15 +206,49 @@ def _moment_features_from_sums(sums: jax.Array) -> dict:
     }
 
 
-def _moment_columns(labels: jax.Array) -> jax.Array:
-    """(N, 7) per-pixel columns whose segment_sum yields the raw moments:
-    [1, r, c, r², c², r·c, perimeter-contribution]."""
+def _pixel_coords(labels: jax.Array):
     h, w = labels.shape
     rr = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
     cc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
-    return jnp.stack(
-        [jnp.ones_like(rr), rr, cc, rr * rr, cc * cc, rr * cc,
-         _perimeter_contributions(labels).reshape(-1)], axis=1)
+    return rr, cc
+
+
+def _central_moment_sums(labels: jax.Array, num_segments: int,
+                         extra_cols: jax.Array = None):
+    """Two-pass central moments: pass 1 sums [1, r, c] for exact
+    centroids; pass 2 sums the CENTERED monomials (plus perimeter and any
+    `extra_cols`). Raw second moments about the origin cancel
+    catastrophically in f32 — mu20 = m20/m00 − cy² subtracts two ~cy²-sized
+    terms, so a cell's measured shape would depend on where it sits in the
+    FOV (37% eccentricity error at the far corner of 4096²).
+
+    Returns (m00, cy, cx, mu20, mu02, mu11, perimeter, extra_sums).
+    """
+    flat = _flat(labels)
+    rr, cc = _pixel_coords(labels)
+    first = jax.ops.segment_sum(
+        jnp.stack([jnp.ones_like(rr), rr, cc], axis=1), flat,
+        num_segments=num_segments)
+    m00 = first[:, 0]
+    safe = jnp.maximum(m00, 1.0)
+    cy, cx = first[:, 1] / safe, first[:, 2] / safe
+    # one (N, 2) gather for both centroid components
+    cent = jnp.take(first[:, 1:3] / safe[:, None], flat, axis=0)
+    dy = rr - cent[:, 0]
+    dx = cc - cent[:, 1]
+    cols = [dy * dy, dx * dx, dy * dx,
+            _perimeter_contributions(labels).reshape(-1)]
+    second_in = jnp.stack(cols, axis=1)
+    if extra_cols is not None:
+        second_in = jnp.concatenate([second_in, extra_cols], axis=1)
+    second = jax.ops.segment_sum(second_in, flat,
+                                 num_segments=num_segments)
+    mu20 = second[:, 0] / safe
+    mu02 = second[:, 1] / safe
+    mu11 = second[:, 2] / safe
+    perimeter = second[:, 3].at[0].set(0.0)
+    extra = second[:, 4:] if extra_cols is not None else None
+    return m00, cy, cx, mu20, mu02, mu11, perimeter, extra
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments",))
@@ -225,26 +259,29 @@ def moment_features(labels: jax.Array, num_segments: int) -> dict:
     major_axis_length, minor_axis_length, eccentricity, equivalent_diameter,
     orientation, perimeter.
 
-    ONE fused (N, 7) scatter for all raw moments + the perimeter: scatter
-    cost on TPU is per-pass, not per-element — 7 separate segment_sums over
-    the same index array measure ~10x slower (99 -> 8.7 ms for a 1024²
-    FOV with 5k cells on v5e).
+    TWO fused scatters (centroids, then centered monomials + perimeter):
+    scatter cost on TPU is per-pass, not per-element — the old design ran
+    7 separate segment_sums over the same index array and measured ~10x
+    slower (99 -> 8.7 ms for a 1024² FOV with 5k cells on v5e); the second
+    pass buys origin-independent f32 central moments.
     """
-    sums = jax.ops.segment_sum(_moment_columns(labels), _flat(labels),
-                               num_segments=num_segments)
-    return _moment_features_from_sums(sums)
+    m00, cy, cx, mu20, mu02, mu11, perim, _ = _central_moment_sums(
+        labels, num_segments)
+    return _features_from_central(m00, cy, cx, mu20, mu02, mu11, perim)
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments",))
 def moment_and_channel_features(images: jax.Array, labels: jax.Array,
                                 num_segments: int):
-    """(morphology dict, (S, C) channel sums) in ONE fused (N, 7+C) scatter —
-    the default marker-quantification path (`total_intensity` extraction +
-    regionprops base props) costs a single device pass over the FOV."""
+    """(morphology dict, (S, C) channel sums) in TWO fused scatters — the
+    default marker-quantification path (`total_intensity` extraction +
+    regionprops base props). The channel sums ride the second (centered-
+    moment) scatter, so the extra pass over the index array buys exact
+    central moments (see _central_moment_sums) at ~1.5x one pass, not 2x
+    the old fused single pass."""
     h, w, c = images.shape
-    feats = jnp.concatenate(
-        [_moment_columns(labels), images.reshape(-1, c).astype(jnp.float32)],
-        axis=1)
-    sums = jax.ops.segment_sum(feats, _flat(labels),
-                               num_segments=num_segments)
-    return _moment_features_from_sums(sums), sums[:, 7:]
+    m00, cy, cx, mu20, mu02, mu11, perim, chan = _central_moment_sums(
+        labels, num_segments,
+        extra_cols=images.reshape(-1, c).astype(jnp.float32))
+    return _features_from_central(m00, cy, cx, mu20, mu02, mu11,
+                                  perim), chan

@@ -73,7 +73,12 @@ def bmu_xla(weights: jax.Array, data: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Reference XLA BMU: returns (argmin indices int32, squared distances)."""
     # ||x||^2 - 2 x.w + ||w||^2 ; ||x||^2 needed only for the returned distance
     w2 = jnp.sum(weights * weights, axis=1)                      # (K,)
-    xw = data @ weights.T                                        # (N, K) MXU
+    # HIGHEST: TPU default matmul precision is bf16, which flips argmins
+    # at Voronoi near-ties vs the true-f32 Pallas kernel (f32 parity is
+    # this module's contract; the kernel is HBM-bound so the 3-pass f32
+    # matmul is hidden behind the data stream anyway)
+    xw = jnp.dot(data, weights.T,
+                 precision=jax.lax.Precision.HIGHEST)            # (N, K) MXU
     d = w2[None, :] - 2.0 * xw
     idx = jnp.argmin(d, axis=1).astype(jnp.int32)
     x2 = jnp.sum(data * data, axis=1)
@@ -192,6 +197,32 @@ def _prepare_bmu_operands(weights: jax.Array, c: int):
     return wbig, w2_p, cpad, pack
 
 
+@functools.partial(jax.jit, static_argnames=("block_n", "with_dist"))
+def _bmu_pallas_program(weights: jax.Array, data: jax.Array, block_n: int,
+                        with_dist: bool):
+    """Whole bmu_pallas flow as ONE compiled program: weight-bank build,
+    channel/row padding, the pallas kernel, and (optionally) the ||x||²
+    completion of the distances. Running any of these eagerly costs one
+    ~30 ms dispatch EACH on the dev attach — several times the ~1.5 ms
+    kernel itself."""
+    n, c = data.shape
+    wbig, w2_p, cpad, pack = _prepare_bmu_operands(weights, c)
+    max_rows = 8192 if with_dist else 16384
+    bn = max(min(block_n, max_rows // pack), 8)
+    rows_per_block = bn * pack
+    n_p = _round_up(max(n, 1), rows_per_block)
+    data = data.astype(jnp.float32)
+    padded = jnp.pad(data, ((0, n_p - n), (0, cpad - c))) \
+        if (n_p != n or cpad != c) else data
+    data_packed = padded.reshape(n_p // pack, _LANE)
+    idx, dist = _bmu_pallas_packed(data_packed, wbig, w2_p, bn, pack,
+                                   with_dist=with_dist)
+    if not with_dist:
+        return idx[:n], None
+    x2 = jnp.sum(data * data, axis=1)                  # unpadded rows only
+    return idx[:n], jnp.maximum(dist[:n] + x2, 0.0)
+
+
 def bmu_pallas(weights: jax.Array, data: jax.Array, block_n: int = 2048,
                return_dist: bool = True) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Fused Pallas BMU search (see `_bmu_packed_kernel`). Handles arbitrary
@@ -213,23 +244,8 @@ def bmu_pallas(weights: jax.Array, data: jax.Array, block_n: int = 2048,
         # rare shapes: fall back to the XLA path (still one fused jit)
         idx, dist = jax.jit(bmu_xla)(weights, data)
         return (idx, dist) if return_dist else (idx, None)
-
-    wbig, w2_p, cpad, pack = _prepare_bmu_operands(weights, c)
-    max_rows = 8192 if return_dist else 16384
-    block_n = max(min(block_n, max_rows // pack), 8)
-    rows_per_block = block_n * pack
-    n_p = _round_up(max(n, 1), rows_per_block)
-    data = data.astype(jnp.float32)
-    if n_p != n or cpad != c:
-        data = jnp.pad(data, ((0, n_p - n), (0, cpad - c)))
-    data_packed = data.reshape(n_p // pack, _LANE)
-
-    idx, dist = _bmu_pallas_packed(data_packed, wbig, w2_p, block_n, pack,
-                                   with_dist=return_dist)
-    if not return_dist:
-        return idx[:n], None
-    x2 = jnp.sum(data * data, axis=1)
-    return idx[:n], jnp.maximum(dist[:n] + x2[:n], 0.0)
+    return _bmu_pallas_program(weights, data, block_n,
+                               with_dist=return_dist)
 
 
 def som_map(weights, data, impl: str = "auto",
@@ -285,11 +301,13 @@ def _train_scan(data: jax.Array, w0: jax.Array, order: jax.Array,
         rows = jax.lax.dynamic_slice_in_dim(order, t * batch_size, batch_size)
         x = jnp.take(data, rows, axis=0)                         # (B, C)
         w2 = jnp.sum(w * w, axis=1)
-        d = w2[None, :] - 2.0 * (x @ w.T)
+        d = w2[None, :] - 2.0 * jnp.dot(
+            x, w.T, precision=jax.lax.Precision.HIGHEST)
         bmu = jnp.argmin(d, axis=1)                              # (B,)
         # bubble neighborhood membership (B, K)
         h = (jnp.take(gdist, bmu, axis=0) <= radius).astype(jnp.float32)
-        num = h.T @ x                                            # (K, C) MXU
+        num = jnp.dot(h.T, x,
+                      precision=jax.lax.Precision.HIGHEST)       # (K, C) MXU
         den = jnp.sum(h, axis=0)                                 # (K,)
         if axis_name is not None:
             num = jax.lax.psum(num, axis_name)
@@ -469,7 +487,11 @@ def som_train_sharded(data, mesh, data_axis: str = "fov", xdim: int = 10,
     if n == 0:
         raise ValueError("cannot train SOM on empty data")
     k = xdim * ydim
-    n_dev = int(mesh.devices.size)
+    # shard count along the DATA axis only — mesh.devices.size would build
+    # per-device visiting orders for every device of a multi-axis mesh
+    # while shard_map splits rows over just this axis, silently leaving
+    # half of each shard's rows unvisited
+    n_dev = int(mesh.shape[data_axis])
     host_rng = np.random.default_rng(seed)
 
     if weights_init is None:
@@ -526,10 +548,12 @@ def make_sharded_train_step(mesh, data_axis: str = "fov"):
 
     def local_step(w, x, alpha, radius, gdist):
         w2 = jnp.sum(w * w, axis=1)
-        d = w2[None, :] - 2.0 * (x @ w.T)
+        d = w2[None, :] - 2.0 * jnp.dot(
+            x, w.T, precision=jax.lax.Precision.HIGHEST)
         bmu = jnp.argmin(d, axis=1)
         h = (jnp.take(gdist, bmu, axis=0) <= radius).astype(jnp.float32)
-        num = jax.lax.psum(h.T @ x, data_axis)
+        num = jax.lax.psum(
+            jnp.dot(h.T, x, precision=jax.lax.Precision.HIGHEST), data_axis)
         den = jax.lax.psum(jnp.sum(h, axis=0), data_axis)
         target = num / jnp.maximum(den, 1.0)[:, None]
         return jnp.where((den > 0)[:, None], w + alpha * (target - w), w)

@@ -47,7 +47,10 @@ def _knn_row_block(rows: jax.Array, row_idx: jax.Array, data: jax.Array,
         blk, offset = args                                  # (Bc, C), scalar
         col_idx = offset + jnp.arange(block_cols, dtype=jnp.int32)
         c2 = jnp.sum(blk * blk, axis=1)
-        d = r2[:, None] - 2.0 * (rows @ blk.T) + c2[None, :]  # (B, Bc) MXU
+        # HIGHEST: f32 neighbor ranks on TPU (default matmul is bf16)
+        d = r2[:, None] - 2.0 * jnp.dot(
+            rows, blk.T,
+            precision=jax.lax.Precision.HIGHEST) + c2[None, :]
         invalid = (col_idx[None, :] >= n) | \
                   (col_idx[None, :] == row_idx[:, None])
         d = jnp.where(invalid, jnp.inf, d)

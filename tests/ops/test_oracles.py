@@ -410,9 +410,13 @@ def _moment_oracle(labels):
             "centroid-1": cx,
             "major_axis_length": 4.0 * np.sqrt(l1),
             "minor_axis_length": 4.0 * np.sqrt(l2),
-            "eccentricity": np.sqrt(max(1 - l2 / max(l1, 1e-12), 0.0)),
+            # skimage returns 0 for the degenerate l1 == 0 case
+            "eccentricity": (np.sqrt(max(1 - l2 / l1, 0.0))
+                             if l1 > 0 else 0.0),
             "equivalent_diameter": np.sqrt(4.0 * n / np.pi),
-            "orientation": 0.5 * np.arctan2(-2 * mu11, mu02 - mu20),
+            # skimage regionprops convention: angle from the row axis
+            # to the major axis, range (-pi/2, pi/2]
+            "orientation": 0.5 * np.arctan2(2 * mu11, mu20 - mu02),
         }
     return out
 
@@ -432,9 +436,9 @@ def test_moment_features_match_eigendecomposition_oracle(rng):
         for key, val in feats.items():
             assert got[key][lab] == pytest.approx(val, rel=1e-4, abs=1e-4), \
                 f"{key} mismatch for label {lab}"
-    # orientation of the planted ellipse: regionprops convention maps the
-    # planted rotation 0.6 to -(pi/2 - 0.6)
-    assert got["orientation"][11] == pytest.approx(0.6 - np.pi / 2, abs=0.05)
+    # orientation of the planted ellipse equals its planted rotation in
+    # the skimage convention (angle from the row axis to the major axis)
+    assert got["orientation"][11] == pytest.approx(0.6, abs=0.05)
 
 
 def test_euler_numbers_match_hole_count_oracle(rng):

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ark_tpu.ops import segment_reduce
@@ -107,3 +108,30 @@ def test_center_weighted_sums_matches_reference_formula(rng):
         weights = 1 - weights / (weights.max() + 1)
         expected = weights @ imgs[coords[:, 0], coords[:, 1]]
         np.testing.assert_allclose(out[lab], expected, rtol=1e-3)
+
+
+def test_moment_features_are_origin_independent():
+    """The same cell must report identical shape wherever it sits in the
+    FOV: raw f32 moments about the origin cancelled catastrophically
+    (12-37% eccentricity error at the far corner of 2048-4096 squares);
+    the two-pass central moments are exact."""
+    yy, xx = np.mgrid[:24, :36]
+    cell = ((yy - 12) / 11.0) ** 2 + ((xx - 18) / 17.0) ** 2 <= 1.0
+
+    def feats_at(offset, size=4096):
+        labels = np.zeros((size, size), np.int32)
+        labels[offset:offset + 24, offset:offset + 36] = cell
+        out = segment_reduce.moment_features(jnp.asarray(labels), 2)
+        return {k: float(np.asarray(v)[1]) for k, v in out.items()}
+
+    near = feats_at(0)
+    far = feats_at(4096 - 40)
+    for key in ("eccentricity", "major_axis_length", "minor_axis_length",
+                "orientation"):
+        assert near[key] == pytest.approx(far[key], rel=1e-3, abs=1e-3), key
+    # and they match the small-image truth
+    small = np.zeros((32, 44), np.int32)
+    small[4:28, 4:40] = cell
+    truth = segment_reduce.moment_features(jnp.asarray(small), 2)
+    assert far["eccentricity"] == pytest.approx(
+        float(np.asarray(truth["eccentricity"])[1]), rel=1e-3)

@@ -140,3 +140,25 @@ def test_som_train_rejects_non_2d_input(rng):
     with pytest.raises(ValueError, match="2-D"):
         som_ops.som_train_and_map(
             rng.random((4, 4, 4)).astype(np.float32))
+
+
+def test_som_train_sharded_multi_axis_mesh_visits_all_data(rng):
+    """On a multi-axis mesh, shard_map splits rows over the DATA axis only
+    — sizing the per-device orders by mesh.devices.size left half of every
+    shard's rows unvisited (a planted cluster confined there never reached
+    the weights)."""
+    import jax
+    from jax.sharding import Mesh
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, axis_names=("fov", "m"))
+    # planted far-away cluster in rows that land on ODD logical 8-shards
+    n, c = 800, 8
+    x = rng.random((n, c)).astype(np.float32)
+    shard = np.arange(n) * 8 // n
+    x[shard % 2 == 1] += 50.0
+    w = np.asarray(som_ops.som_train_sharded(x, mesh, data_axis="fov",
+                                             num_passes=1, seed=1))
+    assert w.max() > 40.0, (
+        "planted cluster never visited: per-device orders sized by the "
+        "full mesh instead of the data axis")
+    assert np.isfinite(w).all()
