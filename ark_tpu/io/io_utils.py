@@ -80,7 +80,9 @@ def remove_file_extensions(files: List[str]) -> List[str]:
         base, ext = os.path.splitext(f)
         if ext and ext.lower() not in known:
             unknown.add(ext)
-            base = f if "." not in ext[1:] and not ext[1:].isalnum() else base
+        # always strip (alpineer contract): keeping some unknown
+        # extensions but not others made name resolution depend on
+        # whether the extension happened to be alphanumeric
         names.append(base)
     if unknown:
         warnings.warn(f"Unusual file extensions found: {sorted(unknown)}")

@@ -67,22 +67,47 @@ def load_imgs_from_tree(data_dir: str, img_sub_folder: Optional[str] = None,
     if len(channel_files) == 0:
         raise ValueError(f"No channel images found in {first_dir}")
 
-    fov_blocks = []
-    max_h = max_w = 0
-    for fov in fovs:
-        fdir = os.path.join(data_dir, fov, img_sub_folder)
-        chans = [read_image(os.path.join(fdir, cf)) for cf in channel_files]
-        block = np.stack(chans, axis=-1)
-        max_h, max_w = max(max_h, block.shape[0]), max(max_w, block.shape[1])
-        fov_blocks.append(block)
+    # header-only size scan (PIL opens lazily): lets the output be
+    # preallocated and filled FOV-by-FOV instead of keeping every block in
+    # a list alongside the output — the list+copy pattern doubled peak
+    # host memory on multi-GB cohorts
+    from PIL import Image
 
+    max_h = max_w = 0
+    sizes = []
+    for fov in fovs:
+        path = os.path.join(data_dir, fov, img_sub_folder, channel_files[0])
+        with Image.open(path) as im:
+            w, h = im.size
+        sizes.append((h, w))
+        max_h, max_w = max(max_h, h), max(max_w, w)
     if max_image_size is not None:
         max_h = max_w = max_image_size
+
+    # dtype probe over the first FOV's channels (promotes mixed dtypes)
+    probe = [read_image(os.path.join(data_dir, fovs[0], img_sub_folder, cf))
+             for cf in channel_files]
+    native_dtype = _infer_dtype(probe)
+    del probe
+    out_dtype = np.dtype(dtype) if dtype is not None else native_dtype
+    if (dtype is not None and np.issubdtype(out_dtype, np.integer)
+            and np.issubdtype(native_dtype, np.floating)):
+        # alpineer contract: float image data is never silently truncated
+        # into a requested integer dtype
+        import warnings
+        warnings.warn(
+            f"supplied non-float dtype {out_dtype} would truncate float "
+            f"image data; overwriting to {native_dtype}")
+        out_dtype = native_dtype
+
     # pad ragged FOVs to the cohort max (keeps the device block dense/static)
-    out_dtype = dtype or _infer_dtype(fov_blocks)
-    out = np.zeros((len(fovs), max_h, max_w, len(channel_files)), dtype=out_dtype)
-    for i, b in enumerate(fov_blocks):
-        out[i, :b.shape[0], :b.shape[1], :] = b
+    out = np.zeros((len(fovs), max_h, max_w, len(channel_files)),
+                   dtype=out_dtype)
+    for i, fov in enumerate(fovs):
+        fdir = os.path.join(data_dir, fov, img_sub_folder)
+        for j, cf in enumerate(channel_files):
+            img = read_image(os.path.join(fdir, cf))
+            out[i, :img.shape[0], :img.shape[1], j] = img
 
     return DataArray(out, coords={"fovs": fovs, "rows": np.arange(max_h),
                                   "cols": np.arange(max_w), "channels": channel_names})
@@ -111,11 +136,20 @@ def load_imgs_from_dir(data_dir: str, files: Optional[List[str]] = None,
         img = read_image(os.path.join(data_dir, f))
         if img.ndim == 2:
             img = img[..., None]
-        elif (img.ndim == 3 and xr_channel_names
-              and img.shape[0] == len(xr_channel_names)
-              and img.shape[-1] != len(xr_channel_names)):
-            # channels-first multi-page TIFF (e.g. deepcell 2-channel inputs)
-            img = np.moveaxis(img, 0, -1)
+        elif img.ndim == 3:
+            if (xr_channel_names
+                    and img.shape[0] == len(xr_channel_names)
+                    and img.shape[-1] != len(xr_channel_names)):
+                # channels-first multi-page TIFF (deepcell 2-channel inputs)
+                img = np.moveaxis(img, 0, -1)
+            elif (xr_channel_names is None
+                  and img.shape[0] == min(img.shape)
+                  and img.shape[0] != img.shape[-1]):
+                # alpineer's channels-first auto-detection: without channel
+                # names a multi-page TIFF would otherwise load with pages
+                # as 'rows' and image width as the channel axis — silently
+                # transposed data
+                img = np.moveaxis(img, 0, -1)
         blocks.append(img)
     shapes = {b.shape for b in blocks}
     if len(shapes) > 1:
@@ -184,7 +218,10 @@ def get_tiled_fov_names(fov_list: List[str], return_dims: bool = False):
     prefixes, rows, cols = set(), 0, 0
     parsed = []
     for fov in fov_list:
-        m = re.match(r"(?:(.*)_)?R(\d+)C(\d+)", fov)
+        # fullmatch: an unanchored match silently drops suffixes after
+        # RnCm ('R1C1_acquisition' -> 'R1C1'), and the tiled loader then
+        # finds none of the real files and zero-fills every tile
+        m = re.fullmatch(r"(?:(.*)_)?R(\d+)C(\d+)", fov)
         if not m:
             raise ValueError(f"FOV {fov} is not RnCm-tiled")
         prefix = m.group(1) or ""

@@ -39,6 +39,10 @@ def verify_in_list(warn: bool = False, **kwargs):
     (name1, test), (name2, good) = kwargs.items()
     test_l = [t for t in make_iterable(test)]
     good_s = set(make_iterable(good))
+    if len(test_l) == 0 or len(good_s) == 0:
+        # alpineer contract: empty selections are a loud error here, not a
+        # vacuous pass that surfaces later as an unrelated failure
+        raise ValueError("List arguments cannot be empty")
     missing = [t for t in test_l if t not in good_s]
     if missing:
         msg = (f"Invalid value(s) provided for {name1.replace('_', ' ')}: "

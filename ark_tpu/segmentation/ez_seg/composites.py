@@ -25,10 +25,15 @@ def composite_builder(image_data_dir, img_sub_folder, fov_list,
             fovs=[fov])
         image_shape = fov_data.shape[1:3]
         channel_names = list(fov_data.coords["channels"])
-        verify_in_list(images_to_add=images_to_add,
-                       image_names=channel_names)
-        verify_in_list(images_to_subtract=images_to_subtract,
-                       image_names=channel_names)
+        # validate only non-empty selections: an empty add/subtract list
+        # is a legitimate "nothing to do" here (the strict validator
+        # raises on empty lists, per the alpineer contract)
+        if images_to_add:
+            verify_in_list(images_to_add=images_to_add,
+                           image_names=channel_names)
+        if images_to_subtract:
+            verify_in_list(images_to_subtract=images_to_subtract,
+                           image_names=channel_names)
         verify_in_list(composite_method=composite_method,
                        options=["binary", "total"])
 

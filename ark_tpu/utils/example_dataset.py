@@ -91,14 +91,14 @@ class ExampleDataset:
                         if f.is_file():
                             f.unlink()
                 shutil.copytree(src_path, dst_path, dirs_exist_ok=True,
-                                ignore=shutil.ignore_patterns(r"\.\!*"))
+                                ignore=shutil.ignore_patterns(".!*"))
             else:
                 if empty_dst_path:
                     warnings.warn(UserWarning(
                         f"Files do not exist in {dst_path}. The example "
                         f"dataset will be added in."))
                     shutil.copytree(src_path, dst_path, dirs_exist_ok=True,
-                                    ignore=shutil.ignore_patterns(r"\.\!*"))
+                                    ignore=shutil.ignore_patterns(".!*"))
                 else:
                     warnings.warn(UserWarning(
                         f"Files exist in {dst_path}. They will not be "

@@ -152,11 +152,24 @@ class DataArray:
             if not isinstance(key, tuple):
                 key = (key,)
             idx = []
-            for d, k in zip(self.da.dims, key):
+            list_axes = []
+            for ax, (d, k) in enumerate(zip(self.da.dims, key)):
                 if isinstance(k, slice):
                     idx.append(k)
                 else:
-                    idx.append(self.da._index_of(d, k))
+                    resolved = self.da._index_of(d, k)
+                    if isinstance(resolved, (list, np.ndarray)):
+                        list_axes.append(ax)
+                    idx.append(resolved)
+            if len(list_axes) > 1:
+                # xarray .loc semantics: multiple label lists select the
+                # OUTER PRODUCT; bare numpy fancy indexing would pair them
+                # pointwise (diagonal) and silently write the wrong cells
+                full = [np.arange(n)[i] if isinstance(i, slice)
+                        else np.atleast_1d(i)
+                        for i, n in zip(idx, self.da.values.shape)]
+                self.da.values[np.ix_(*full)] = value
+                return
             self.da.values[tuple(idx)] = value
 
     @property
@@ -174,8 +187,14 @@ class DataArray:
             for d, c in self.coords.items():
                 c = np.asarray(c)
                 if c.dtype.kind in "UO":
-                    c = c.astype("S")
-                f.create_dataset(f"coords/{d}", data=c)
+                    # h5py's variable-length utf-8 string dtype: a bare
+                    # astype('S') is ASCII-only and crashes on real marker
+                    # names like αSMA / TCRγδ
+                    f.create_dataset(
+                        f"coords/{d}", data=[str(v) for v in c],
+                        dtype=h5py.string_dtype(encoding="utf-8"))
+                else:
+                    f.create_dataset(f"coords/{d}", data=c)
 
     @staticmethod
     def from_h5(path: str) -> "DataArray":
@@ -187,8 +206,11 @@ class DataArray:
             coords = {}
             for d in dims:
                 c = f[f"coords/{d}"][:]
-                if c.dtype.kind == "S":
+                if c.dtype.kind == "S":         # legacy ascii files
                     c = c.astype(str)
+                elif c.dtype.kind == "O":       # vlen utf-8 strings
+                    c = np.array([v.decode("utf-8") if isinstance(v, bytes)
+                                  else str(v) for v in c])
                 coords[d] = c
         return DataArray(values, coords=coords, dims=dims, name=name)
 

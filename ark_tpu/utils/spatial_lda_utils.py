@@ -48,10 +48,14 @@ def check_featurize_cell_table_args(cell_table, featurization, radius,
     verify_in_list(featurization=[featurization],
                    featurization_options=["cluster", "marker", "avg_marker",
                                           "count"])
-    if featurization == "cluster" and "clusters" not in cell_table:
+    # format_cell_table always inserts both keys (possibly None), so the
+    # membership test alone is dead code — check the VALUE like the
+    # reference does (spatial_lda_utils.py:check_featurize_cell_table_args)
+    if featurization == "cluster" and cell_table.get("clusters") is None:
         raise ValueError("Cannot featurize clusters, because none were used "
                          "for cell table formatting")
-    if featurization in ["marker", "avg_marker"] and "markers" not in cell_table:
+    if featurization in ["marker", "avg_marker"] \
+            and cell_table.get("markers") is None:
         raise ValueError("Cannot featurize markers, because none were used "
                          "for cell table formatting")
     key = list(cell_table.keys())[0]

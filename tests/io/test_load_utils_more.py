@@ -172,3 +172,51 @@ def test_list_files_exact_match(tmp_path):
     exact = io_utils.list_files(str(tmp_path), substrs="chan",
                                 exact_match=True)
     assert exact == ["chan.tiff"]
+
+
+def test_multipage_tiff_autodetects_channels_first(tmp_path):
+    """A 3-page TIFF loaded WITHOUT channel names must come back as
+    (1, H, W, 3) — not with pages as 'rows' and width as channels
+    (alpineer's shape[0] == min(shape) auto-detection)."""
+    stack = np.stack([np.full((8, 9), i, np.float32) for i in range(3)])
+    save_image(str(tmp_path / "fovX.tiff"), stack)
+    da = load_utils.load_imgs_from_dir(str(tmp_path))
+    assert da.values.shape == (1, 8, 9, 3)
+    for i in range(3):
+        assert (da.values[0, :, :, i] == i).all()
+
+
+def test_tiled_fov_names_rejects_suffixed_names(tmp_path):
+    """'R1C1_acquisition' is NOT an RnCm name — the old unanchored match
+    truncated the suffix and the tiled loader zero-filled every tile."""
+    with pytest.raises(ValueError, match="not RnCm"):
+        load_utils.get_tiled_fov_names(["R1C1_acquisition"])
+    # real RnCm names (with optional run prefix) still parse
+    names = load_utils.get_tiled_fov_names(["run1_R1C1", "run1_R2C2"])
+    assert "run1_R2C1" in names
+
+
+def test_integer_dtype_request_never_truncates_floats(tmp_path):
+    (tmp_path / "fov0").mkdir()
+    save_image(str(tmp_path / "fov0" / "chan0.tiff"),
+               np.full((4, 4), 300.5, np.float32))
+    with pytest.warns(UserWarning, match="non-float dtype"):
+        da = load_utils.load_imgs_from_tree(str(tmp_path),
+                                            img_sub_folder=None,
+                                            dtype=np.int16)
+    assert np.issubdtype(da.values.dtype, np.floating)
+    assert da.values.max() == np.float32(300.5)
+
+
+def test_remove_file_extensions_always_strips():
+    got = io_utils.remove_file_extensions(
+        ["marker.b-c", "chan.1", "data.backup", "img.tiff"])
+    assert got == ["marker", "chan", "data", "img"]
+
+
+def test_verify_in_list_rejects_empty_lists():
+    from ark_tpu.io.misc_utils import verify_in_list
+    with pytest.raises(ValueError, match="cannot be empty"):
+        verify_in_list(provided_channels=[], accepted_channels=["a"])
+    with pytest.raises(ValueError, match="cannot be empty"):
+        verify_in_list(provided_channels=["a"], accepted_channels=[])

@@ -113,3 +113,29 @@ def test_equals_detects_differences(da, rng):
                                            "rows": da.coords["rows"],
                                            "channels": da.coords["channels"]})
     assert not da.equals(renamed)
+
+
+def test_to_h5_roundtrips_unicode_channel_names(tmp_path):
+    """Real MIBI panels use names like αSMA / TCRγδ — the old ascii cast
+    crashed at save time."""
+    da = DataArray(np.arange(6, dtype=np.float32).reshape(2, 3),
+                   coords={"fovs": ["fov0", "fov1"],
+                           "channels": ["αSMA", "TCRγδ", "CD45"]})
+    path = tmp_path / "arr.xr"
+    da.to_h5(str(path))
+    back = DataArray.from_h5(str(path))
+    assert list(back.coords["channels"]) == ["αSMA", "TCRγδ", "CD45"]
+    np.testing.assert_array_equal(back.values, da.values)
+
+
+def test_loc_setitem_outer_product_semantics():
+    """Two label lists must select the CROSS PRODUCT (xarray .loc), not
+    numpy's pointwise diagonal pairing."""
+    da = DataArray(np.zeros((3, 2, 3)),
+                   coords={"fovs": ["f0", "f1", "f2"],
+                           "rows": [0, 1],
+                           "channels": ["c0", "c1", "c2"]})
+    da.loc[["f0", "f1"], :, ["c0", "c2"]] = 7.0
+    assert (da.values[[0, 1]][:, :, [0, 2]] == 7.0).all()
+    assert (da.values[[0, 1]][:, :, 1] == 0.0).all()
+    assert (da.values[2] == 0.0).all()
