@@ -10,6 +10,7 @@
 //   floods ascending `image` values from the labeled `markers`, restricted to
 //   `mask` (mask==0 pixels stay 0). 4-connected.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <vector>
@@ -34,14 +35,26 @@ void watershed(const float* image, const int32_t* markers,
     const int64_t n = static_cast<int64_t>(H) * W;
     std::vector<uint8_t> visited(n, 0);
 
-    float vmin = 0.0f, vmax = 0.0f;
-    bool any = false;
+    // robust quantization range: a single hot pixel (common in raw MIBI
+    // channels) would otherwise stretch [vmin, vmax] so far that all the
+    // meaningful relief collapses into one bucket and the flood
+    // degenerates to marker-BFS. Clamp to the 0.1%/99.9% order statistics
+    // of the masked values; outliers saturate into the end buckets, which
+    // preserves the ordering of the main relief exactly.
+    std::vector<float> vals;
+    vals.reserve(static_cast<size_t>(n));
     for (int64_t i = 0; i < n; ++i) {
-        if (!mask[i]) continue;
-        const float v = image[i];
-        if (!any) { vmin = vmax = v; any = true; }
-        else if (v < vmin) vmin = v;
-        else if (v > vmax) vmax = v;
+        if (mask[i]) vals.push_back(image[i]);
+    }
+    float vmin = 0.0f, vmax = 0.0f;
+    if (!vals.empty()) {
+        const size_t lo_k = vals.size() / 1000;
+        const size_t hi_k = vals.size() - 1 - lo_k;
+        std::nth_element(vals.begin(), vals.begin() + lo_k, vals.end());
+        vmin = vals[lo_k];
+        std::nth_element(vals.begin() + lo_k, vals.begin() + hi_k,
+                         vals.end());
+        vmax = vals[hi_k];
     }
     const float range = vmax - vmin;
     const float scale = range > 0.0f ? (kBuckets - 1) / range : 0.0f;

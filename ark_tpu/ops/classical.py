@@ -48,11 +48,13 @@ def _sep_conv(img: jax.Array, krow: np.ndarray, kcol: np.ndarray) -> jax.Array:
 
 @jax.jit
 def sobel(img: jax.Array) -> jax.Array:
-    """Sobel gradient-magnitude elevation map (skimage normalization: kernels
-    scaled by 1/4, magnitude divided by sqrt(2))."""
+    """Sobel gradient-magnitude elevation map (skimage normalization: the
+    smoothing tap is [1,2,1]/4, the derivative tap is the UNSCALED
+    [1,0,-1], magnitude divided by sqrt(2) — an extra /2 on the
+    derivative used to halve every output vs skimage.filters.sobel)."""
     img = img.astype(jnp.float32)
     smooth = np.array([1.0, 2.0, 1.0], np.float32) / 4.0
-    diff = np.array([1.0, 0.0, -1.0], np.float32) / 2.0
+    diff = np.array([1.0, 0.0, -1.0], np.float32)
     gy = _sep_conv(img, diff, smooth)
     gx = _sep_conv(img, smooth, diff)
     return jnp.sqrt(gx * gx + gy * gy) / jnp.sqrt(2.0)

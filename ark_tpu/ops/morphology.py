@@ -75,19 +75,20 @@ def remove_small_objects(labels: np.ndarray, min_size: int = 5) -> np.ndarray:
 
 
 def remove_small_holes(mask: np.ndarray, area_threshold: int = 64) -> np.ndarray:
-    """Fill background components smaller than area_threshold that do not
-    touch the image border (host, scipy labeling)."""
+    """Fill background components of area <= area_threshold (host, scipy
+    labeling). skimage semantics: the op is remove_small_objects on the
+    COMPLEMENT — border-touching holes fill like any other, and the
+    threshold is inclusive (a previous border exclusion + strict < made
+    ez_seg masks at FOV edges differ in area from the reference)."""
     import scipy.ndimage as ndi
     mask = np.asarray(mask).astype(bool)
     bg_labels, n = ndi.label(~mask)
     if n == 0:
         return mask
     counts = np.bincount(bg_labels.reshape(-1))
-    border = np.unique(np.concatenate([
-        bg_labels[0, :], bg_labels[-1, :], bg_labels[:, 0], bg_labels[:, -1]]))
     fill = np.zeros(n + 1, bool)
-    fill[1:] = counts[1:] < area_threshold
-    fill[border] = False
+    fill[1:] = counts[1:] <= area_threshold
+    fill[0] = False
     return mask | fill[bg_labels]
 
 
