@@ -167,7 +167,9 @@ def compute_close_cell_num(dist_mat, dist_lim, analysis_type,
     close = np.asarray(jnp.asarray(pos_matrix)
                        @ jnp.asarray(dist_bin)
                        @ jnp.asarray(pos_matrix).T)
-    close_num = np.round(close).astype(np.uint16)
+    # int64 (the reference uses uint16, :237, which silently wraps above
+    # 65535 close pairs — a dense FOV exceeds that on the diagonal)
+    close_num = np.round(close).astype(np.int64)
     return close_num, mark1_num, mark1poslabels
 
 
@@ -223,7 +225,6 @@ def compute_kmeans_silhouette(neighbor_mat_data, min_k=2, max_k=10, seed=42,
     ks = np.arange(min_k, max_k + 1)
     data = np.asarray(neighbor_mat_data, np.float32)
     stats = np.zeros(len(ks))
-    rng = np.random.default_rng(seed)
     for i, k in enumerate(ks):
         labels, _ = kmeans_ops.kmeans(data, int(k), seed=seed)
         sub_dat = pd.DataFrame(data)

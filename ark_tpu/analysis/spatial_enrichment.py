@@ -94,7 +94,10 @@ def calculate_enrichment(dist_mat, pos_matrix: np.ndarray, dist_lim: float,
     p_neg = (np.sum(null <= close_num[None], axis=0) + 1) / (bootstrap_num + 1)
     p_two = np.minimum(np.minimum(p_pos, p_neg) * 2, 1.0)
     return {
-        "close_num": np.round(close_num).astype(np.uint16),
+        # int64: a dense 1024² FOV exceeds 65535 close pairs on the
+        # diagonal at the default dist_lim (uint16 silently wrapped the
+        # saved counts while z/muhat reflected the true values)
+        "close_num": np.round(close_num).astype(np.int64),
         "close_num_rand": null,
         "muhat": muhat, "sigmahat": sigmahat, "z": z,
         "p_pos": p_pos, "p_neg": p_neg,
@@ -125,8 +128,15 @@ def calculate_cluster_spatial_enrichment(fov, all_data, dist_mat,
     fov_data = all_data[all_data[fov_col] == fov]
     cluster_names = included_cell_types if included_cell_types is not None \
         else sorted(fov_data[cell_type_col].unique())
-    verify_in_list(included_cell_types=list(cluster_names),
-                   fov_cell_types=list(fov_data[cell_type_col].unique()))
+    present = set(fov_data[cell_type_col].unique())
+    absent = [c for c in cluster_names if c not in present]
+    if absent:
+        # a cohort-wide phenotype list must work on FOVs missing some
+        # types (comparable row ordering across FOVs is the whole point of
+        # passing the list): warn and emit zero rows instead of dying
+        import warnings
+        warnings.warn(f"FOV {fov} has no cells of type(s) {absent}; their "
+                      f"enrichment rows will be zero")
     labels_list = [
         spatial_analysis_utils.get_pos_cell_labels_cluster(
             pheno, fov_data, cell_label_col, cell_type_col).values

@@ -69,8 +69,13 @@ def create_c2pc_data(fovs, pixel_data_path, cell_table_path,
     cell_table["label"] = cell_table["label"].astype(int)
     cell_table = cell_table[cell_table["fov"].isin(fovs)].reset_index(drop=True)
 
-    # first pass: global cluster vocabulary so every FOV pivots to one schema
-    fov_frames = {}
+    # single streaming pass: each FOV's (cells × LOCAL clusters) count
+    # frame is computed immediately and the big pixel table dropped —
+    # keeping every FOV's pixel matrix alive for a second pass held the
+    # whole cohort in RAM at once (the reference streams one FOV at a
+    # time); the tiny per-FOV frames are re-keyed to the union cluster
+    # schema afterwards
+    per_fov = []
     all_clusters = set()
     for fov in fovs:
         fov_pixel_data = feather.read_dataframe(
@@ -78,25 +83,28 @@ def create_c2pc_data(fovs, pixel_data_path, cell_table_path,
         if "segmentation_label" in fov_pixel_data.columns:
             fov_pixel_data = fov_pixel_data.rename(
                 columns={"segmentation_label": "label"})
-        fov_frames[fov] = fov_pixel_data
-        all_clusters.update(fov_pixel_data[pixel_cluster_col].unique())
+        lbl = fov_pixel_data["label"].values.astype(np.int64)
+        raw = fov_pixel_data[pixel_cluster_col]
+        if raw.dtype == float:
+            raw = raw.astype(int)
+        local_ids = list(pd.unique(raw))
+        local_map = {c: i for i, c in enumerate(local_ids)}
+        clu = raw.map(local_map).values
+        counts = _c2pc_counts(lbl, clu, local_ids)
+        all_clusters.update(local_ids)
+        per_fov.append((fov, counts))
+        del fov_pixel_data
+
     if all(isinstance(c, (int, np.integer, float, np.floating))
            for c in all_clusters):
         cluster_ids = sorted(int(c) for c in all_clusters)
     else:
         cluster_ids = io_utils.natsorted(all_clusters)
-    id_to_idx = {c: i for i, c in enumerate(cluster_ids)}
     count_cols = [f"{pixel_cluster_col}_{c}" for c in cluster_ids]
 
     blocks = []
-    for fov in fovs:
-        fov_pixel_data = fov_frames[fov]
-        lbl = fov_pixel_data["label"].values.astype(np.int64)
-        raw = fov_pixel_data[pixel_cluster_col]
-        if raw.dtype == float:
-            raw = raw.astype(int)
-        clu = raw.map(id_to_idx).values
-        counts = _c2pc_counts(lbl, clu, cluster_ids)
+    for fov, counts in per_fov:
+        counts = counts.reindex(columns=cluster_ids, fill_value=0)
         counts.columns = count_cols
         counts["fov"] = fov
         counts["label"] = counts.index.values

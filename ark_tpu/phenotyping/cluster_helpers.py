@@ -219,13 +219,14 @@ class ConsensusCluster:
     """
 
     def __init__(self, cluster, L: int, K: int, H: int,
-                 resample_proportion: float = 0.5):
+                 resample_proportion: float = 0.5, seed: int = 42):
         assert 0 <= resample_proportion <= 1, "proportion has to be between 0 and 1"
         self.cluster_ = cluster
         self.resample_proportion_ = resample_proportion
         self.L_ = L
         self.K_ = K
         self.H_ = H
+        self.seed = seed
         self.Mk = None
         self.Ak = None
         self.deltaK = None
@@ -236,13 +237,17 @@ class ConsensusCluster:
         n = data.shape[0]
         n_ks = self.K_ - self.L_
         Mk = np.zeros((n_ks, n, n))
+        # seeded resampling (repo convention: every stochastic op takes a
+        # seed) — the global np.random made non-degenerate L<K consensus
+        # runs irreproducible
+        rng = np.random.default_rng(self.seed)
         for i_, k in enumerate(range(self.L_, self.K_)):
             if verbose:
                 print(f"consensus: k={k}")
             conn = np.zeros((n, n))
             together = np.zeros((n, n))
             for _ in range(self.H_):
-                idx = np.random.choice(
+                idx = rng.choice(
                     n, size=int(n * self.resample_proportion_), replace=False)
                 labels = self.cluster_(n_clusters=k).fit_predict(data[idx])
                 picked = np.zeros(n, bool)

@@ -152,3 +152,47 @@ def test_bootstrap_num_controls_pvalue_resolution(rng):
             "fov0", table, dist, dist_lim=15, bootstrap_num=b, seed=5)
         ia, ib = names.index("A"), names.index("B")
         assert res["p_pos"][ia, ib] == pytest.approx(1.0 / (b + 1))
+
+
+def test_close_counts_do_not_wrap_on_dense_fovs(rng):
+    """A dense phenotype exceeds 65535 close pairs on the diagonal — the
+    old uint16 cast silently wrapped the saved counts while z/muhat kept
+    the true values (self-inconsistent stats table)."""
+    n = 600
+    coords = rng.uniform(0, 50, size=(n, 2)).astype(np.float32)  # packed
+    d = np.sqrt(((coords[:, None] - coords[None]) ** 2).sum(-1))
+    pos = np.ones((1, n), np.float32)
+    dm = DataArray(d.astype(np.float32),
+                   coords={"dim_0": np.arange(1, n + 1),
+                           "dim_1": np.arange(1, n + 1)})
+    res = spatial_enrichment.calculate_enrichment(
+        dm, pos, dist_lim=100, bootstrap_num=10, seed=1)
+    true_pairs = int((d > 0).sum())          # everything is within 100
+    assert true_pairs > 65535
+    assert res["close_num"][0, 0] == true_pairs
+    assert res["close_num"].dtype == np.int64
+
+
+def test_cohort_phenotype_list_tolerates_missing_types(rng):
+    """A cohort-wide included_cell_types list must not crash on a FOV
+    lacking one type — it warns and emits zero rows for it."""
+    import warnings as _warnings
+    n = 40
+    table = pd.DataFrame({
+        "fov": ["f0"] * n,
+        "label": np.arange(1, n + 1),
+        "cell_meta_cluster": ["A"] * 20 + ["B"] * 20})
+    coords = rng.uniform(0, 200, (n, 2))
+    d = np.sqrt(((coords[:, None] - coords[None]) ** 2).sum(-1))
+    dm = DataArray(d.astype(np.float32),
+                   coords={"dim_0": np.arange(1, n + 1),
+                           "dim_1": np.arange(1, n + 1)})
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        names, res = spatial_enrichment.calculate_cluster_spatial_enrichment(
+            "f0", table, dm, included_cell_types=["A", "B", "Missing"],
+            dist_lim=50, bootstrap_num=10)
+    assert any("Missing" in str(x.message) for x in w)
+    assert list(names) == ["A", "B", "Missing"]
+    assert res["close_num"][2].sum() == 0       # zero row, not a crash
+    assert np.isfinite(res["z"]).all()
