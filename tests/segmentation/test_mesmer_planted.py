@@ -45,9 +45,11 @@ def test_mesmer_recovers_planted_instances(trained_app):
         recall = np.mean([s["recall"] for s in stats])
         precision = np.mean([s["precision"] for s in stats])
         iou = np.mean([s["mean_matched_iou"] for s in stats])
-        assert recall >= 0.85, f"{comp} recall {recall:.2f}"
-        assert precision >= 0.8, f"{comp} precision {precision:.2f}"
-        assert iou >= 0.7, f"{comp} matched IoU {iou:.2f}"
+        assert recall >= 0.9, f"{comp} recall {recall:.2f}"
+        assert precision >= 0.9, f"{comp} precision {precision:.2f}"
+        # the shipped checkpoint (1600 steps / 64 images) measures
+        # whole_cell 0.93 / nuclear 0.89 on this held-out set
+        assert iou >= 0.8, f"{comp} matched IoU {iou:.2f}"
 
 
 def test_mesmer_labels_are_instances_not_semantic(trained_app):
