@@ -354,10 +354,12 @@ def compute_marker_counts(input_images, segmentation_labels,
             comp_idx = compartments.index("nuclear")
             row_of_cell = {int(c): i for i, c in enumerate(unique_cell_ids)}
             rows = np.array([row_of_cell[int(c)] for c in matched_cells])
+            # nuclear rows carry the NUCLEUS id in the label feature column
+            # (reference parity: assign_single_compartment_features writes
+            # nuc_props['label'] = nuc_id for the nuclear compartment,
+            # marker_quantification.py:122-131); the row POSITION is what
+            # ties a nucleus to its cell
             marker_counts.values[comp_idx, rows, :nuc_feats.shape[1]] = nuc_feats
-            # nuclear rows keep the *cell* id in the label feature column
-            label_col = feature_names.index(settings.POST_CHANNEL_COL)
-            marker_counts.values[comp_idx, rows, label_col] = matched_nucs
             for rn in regionprops_multi_comp:
                 marker_counts = REGIONPROPS_FUNCTION[rn](marker_counts,
                                                          **reg_kwargs)
@@ -403,8 +405,12 @@ def create_marker_count_matrices(segmentation_labels, image_data,
     normalized = pd.DataFrame(
         data=marker_counts_norm.sel(compartments="whole_cell").values,
         columns=features)
-    arcsinh = pd.DataFrame(data=marker_counts_arcsinh.values[0],
-                           columns=features)
+    # sel by name, like the normalized table above — a positional [0] put
+    # NUCLEAR rows under whole-cell column names whenever the compartment
+    # axis wasn't whole_cell-first
+    arcsinh = pd.DataFrame(
+        data=marker_counts_arcsinh.sel(compartments="whole_cell").values,
+        columns=features)
     normalized[settings.CELL_LABEL] = normalized[settings.CELL_LABEL].astype(np.int32)
     arcsinh[settings.CELL_LABEL] = arcsinh[settings.CELL_LABEL].astype(np.int32)
 
@@ -478,9 +484,13 @@ def generate_cell_table(segmentation_dir, tiff_dir, img_sub_folder="TIFs",
                         "cols": current_labels_cell.coords["cols"],
                         "compartments": compartments})
 
+            # nuclear compartment only exists for the whole_cell mask type
+            # — requesting nuclear_counts for other mask types would fail
+            # create_marker_count_matrices' compartment validation
             normalized, arcsinh = create_marker_count_matrices(
                 segmentation_labels=current_labels, image_data=image_data,
-                extraction=extraction, nuclear_counts=nuclear_counts,
+                extraction=extraction,
+                nuclear_counts=nuclear_counts and "nuclear" in compartments,
                 fast_extraction=fast_extraction, **kwargs)
             mask_type_str = "whole_cell" \
                 if mask_type == "final_cells_remaining" else mask_type
@@ -499,10 +509,14 @@ def get_existing_mask_types(fov_names: List[str],
     :596-621)."""
     stripped = io_utils.remove_file_extensions(mask_names)
     result = []
-    for prefix in fov_names:
-        prefix_tokens = list(filter(bool, re.split("[^a-zA-Z0-9]", prefix)))
-        for item in stripped:
-            item_tokens = list(filter(bool, re.split("[^a-zA-Z0-9]", item)))
-            if set(prefix_tokens).issubset(item_tokens):
-                result.append(item[len(prefix):])
-    return list(set(item.lstrip("_") for item in result))
+    for item in stripped:
+        # bind each mask to its LONGEST matching FOV prefix: a token-subset
+        # test let mask 'TMA_R1C1_whole_cell' match fov 'R1C1' and the
+        # positional slice then produced garbage types like
+        # 'R1C1_whole_cell'
+        best = max((p for p in fov_names
+                    if item == p or item.startswith(p + "_")),
+                   key=len, default=None)
+        if best is not None and item != best:
+            result.append(item[len(best) + 1:])
+    return sorted(set(result))

@@ -321,8 +321,12 @@ def stitch_images_by_shape(data_dir, stitched_dir, img_sub_folder=None,
     if os.path.exists(stitched_dir):
         raise ValueError(f"The {stitched_dir} directory already exists.")
 
-    search_term = re.compile(r"(R\+?\d+)(C\+?\d+)")
-    bad = [fov for fov in fovs if re.search(search_term, fov) is None]
+    # fullmatch with the same grammar get_tiled_fov_names enforces
+    # (optional run prefix + RnCm, nothing after): a substring search let
+    # 'R1C1_extra' pass this friendly check only to die later inside the
+    # tiled loader with a generic error after dirs were already created
+    search_term = re.compile(r"(?:.*_)?R\d+C\d+")
+    bad = [fov for fov in fovs if re.fullmatch(search_term, fov) is None]
     if bad:
         raise ValueError(f"Invalid FOVs found in directory, {data_dir}. FOV "
                          f"names {bad} should have the form RnCm.")

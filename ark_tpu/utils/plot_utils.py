@@ -151,7 +151,13 @@ def plot_cluster(image, fov: str, cmap, norm, cbar_visible: bool = True,
                  figsize=None) -> Figure:
     """Plot one cluster mask with a discrete colorbar."""
     if cbar_labels is None:
-        cbar_labels = [f"Cluster {x}" for x in range(1, len(cmap.colors))]
+        # the colormap has n_clusters + 2 bands: 0=background (black),
+        # 1..n=clusters, n+1=unassigned. The reference's default labels
+        # (plot_utils.py:272) start 'Cluster 1' at tick 0, misnaming the
+        # background band and every cluster after it
+        n = len(cmap.colors) - 2
+        cbar_labels = (["Empty"] + [f"Cluster {x}" for x in range(1, n + 1)]
+                       + ["Unassigned"])
     fig = plt.figure(figsize=figsize, dpi=dpi)
     fig.set_layout_engine(layout="tight")
     gs = gridspec.GridSpec(nrows=1, ncols=1, figure=fig)

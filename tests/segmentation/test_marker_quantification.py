@@ -203,3 +203,69 @@ def test_assign_compartment_features_matches_compute(rng):
     with pytest.raises(ValueError):
         marker_quantification.assign_multi_compartment_features(
             mc, ["not_a_prop"])
+
+
+def test_get_existing_mask_types_exact_prefix_binding():
+    """Each mask binds to its LONGEST matching FOV prefix — the old
+    token-subset test let 'TMA_R1C1_whole_cell' match fov 'R1C1' and the
+    positional slice produced garbage types."""
+    got = marker_quantification.get_existing_mask_types(
+        ["R1C1", "TMA_R1C1"],
+        ["R1C1_whole_cell.tiff", "TMA_R1C1_whole_cell.tiff",
+         "TMA_R1C1_nuclear.tiff"])
+    assert got == ["nuclear", "whole_cell"]
+
+
+def test_arcsinh_table_uses_whole_cell_regardless_of_compartment_order(rng):
+    """Compartments ordered ['nuclear', 'whole_cell']: the arcsinh table
+    must still carry whole-cell rows (a positional [0] silently swapped in
+    nuclear data under whole-cell column names)."""
+    labels = np.zeros((32, 32), np.int32)
+    labels[4:14, 4:14] = 1          # 100-px cell
+    nuc = np.zeros((32, 32), np.int32)
+    nuc[6:10, 6:10] = 1             # 16-px nucleus inside it
+    seg = DataArray(
+        np.stack([nuc, labels], axis=-1)[None],
+        coords={"fovs": ["fovA"], "rows": np.arange(32),
+                "cols": np.arange(32),
+                "compartments": ["nuclear", "whole_cell"]})
+    imgs = DataArray(
+        rng.random((1, 32, 32, 2)).astype(np.float32),
+        coords={"fovs": ["fovA"], "rows": np.arange(32),
+                "cols": np.arange(32), "channels": ["c0", "c1"]})
+    normalized, arcsinh = marker_quantification.create_marker_count_matrices(
+        seg, imgs, nuclear_counts=True)
+    assert normalized["area"].iloc[0] == 100           # whole cell
+    # arcsinh applies after size_norm: area column passes through
+    assert arcsinh["area"].iloc[0] == 100
+    assert normalized["area_nuclear"].iloc[0] == 16
+
+
+def test_generate_cell_table_nuclear_counts_with_extra_mask_types(tmp_path,
+                                                                  rng):
+    """nuclear_counts=True plus a non-whole_cell mask type must not crash
+    (the nuclear compartment only exists for whole_cell)."""
+    from ark_tpu.io.image_utils import save_image
+    seg_dir = tmp_path / "seg"
+    tiff_dir = tmp_path / "tiffs"
+    seg_dir.mkdir()
+    (tiff_dir / "fov0").mkdir(parents=True)
+    labels = np.zeros((24, 24), np.int32)
+    labels[2:10, 2:10] = 1
+    labels[14:22, 14:22] = 2
+    nuc = np.zeros((24, 24), np.int32)
+    nuc[4:8, 4:8] = 1
+    nuc[16:20, 16:20] = 2
+    save_image(str(seg_dir / "fov0_whole_cell.tiff"), labels)
+    save_image(str(seg_dir / "fov0_nuclear.tiff"), nuc)
+    save_image(str(seg_dir / "fov0_custom.tiff"), labels)
+    for chan in ("c0", "c1"):
+        save_image(str(tiff_dir / "fov0" / f"{chan}.tiff"),
+                   rng.random((24, 24)).astype(np.float32))
+    normalized, arcsinh = marker_quantification.generate_cell_table(
+        segmentation_dir=str(seg_dir), tiff_dir=str(tiff_dir),
+        img_sub_folder=None, fovs=["fov0"], nuclear_counts=True,
+        mask_types=["whole_cell", "custom"])
+    by_type = dict(tuple(normalized.groupby("mask_type")))
+    assert "area_nuclear" in by_type["whole_cell"].columns
+    assert len(by_type["custom"]) == 2      # ran without nuclear, no crash
