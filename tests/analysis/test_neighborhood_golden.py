@@ -152,3 +152,61 @@ def test_neighborhood_diversity_planted(planted):
     vals = div[f"diversity_{settings.CELL_TYPE}"]
     assert (vals >= 0).all()
     assert vals.max() <= np.log2(4) + 1e-9   # 4 cell types max
+
+
+def test_neighbor_counts_match_pair_loop_oracle(rng):
+    from ark_tpu.utils.labeled_array import DataArray
+    """Independent per-pair distance loop binding compute_neighbor_counts
+    (previously the freqs test only re-derived the function's own
+    counts/rowsum division — any counts bug passed)."""
+    n = 30
+    coords = rng.uniform(0, 100, (n, 2))
+    phenos = rng.choice(["A", "B", "C"], n)
+    table = pd.DataFrame({
+        settings.CELL_LABEL: np.arange(1, n + 1),
+        settings.CELL_TYPE: phenos})
+    d = np.sqrt(((coords[:, None] - coords[None]) ** 2).sum(-1)).astype(
+        np.float32)
+    dm = DataArray(d, coords={"dim_0": np.arange(1, n + 1),
+                              "dim_1": np.arange(1, n + 1)})
+    distlim = 30.0
+    counts, freqs = spatial_analysis_utils.compute_neighbor_counts(
+        table, dm, distlim)
+    # brute force: strict < distlim, self excluded
+    for i in range(n):
+        for p in ("A", "B", "C"):
+            want = sum(1 for j in range(n)
+                       if j != i and d[i, j] < distlim and phenos[j] == p)
+            assert counts.iloc[i][p] == want, (i, p)
+        tot = sum(1 for j in range(n) if j != i and d[i, j] < distlim)
+        if tot:
+            np.testing.assert_allclose(
+                freqs.iloc[i][["A", "B", "C"]].astype(float).sum(), 1.0,
+                rtol=1e-6)
+    # self_neighbor=True includes the cell itself
+    counts_self, _ = spatial_analysis_utils.compute_neighbor_counts(
+        table, dm, distlim, self_neighbor=True)
+    for i in range(n):
+        assert counts_self.iloc[i][phenos[i]] == counts.iloc[i][phenos[i]] + 1
+
+
+def test_mixing_score_values_match_hand_computation():
+    """Pin the percent/homogeneous formulas to hand-computed values (the
+    planted-direction assertion alone passes under role transpositions)."""
+    mat = pd.DataFrame({
+        settings.FOV_ID: ["f"] * 4,
+        settings.CELL_LABEL: [1, 2, 3, 4],
+        settings.CELL_TYPE: ["A", "A", "B", "B"],
+        "A": [1.0, 1.0, 2.0, 0.0],
+        "B": [3.0, 0.0, 1.0, 1.0]})
+    # target rows (A): reference_target = 3+0 = 3, target_target = 1+1 = 2
+    # reference rows (B): reference_reference = 1+1 = 2
+    score, total = neighborhood_analysis.compute_mixing_score(
+        mat, target_cells=["A"], reference_cells=["B"],
+        mixing_type="percent", cell_count_thresh=0)
+    assert total == 4
+    assert score == pytest.approx(3.0 / (3.0 + 2.0))
+    score_h, _ = neighborhood_analysis.compute_mixing_score(
+        mat, target_cells=["A"], reference_cells=["B"],
+        mixing_type="homogeneous", cell_count_thresh=0)
+    assert score_h == pytest.approx(3.0 / (2.0 + 2.0))

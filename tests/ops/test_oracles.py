@@ -515,8 +515,9 @@ def test_som_map_empty_respects_return_dist_contract(rng):
 
 
 def test_sobel_unit_ramp_matches_skimage_scale():
-    """sobel(unit ramp) must be sqrt(2)·|slope|/sqrt(2) = 1.0 per skimage's
-    normalization (an extra /2 on the derivative tap used to halve it)."""
+    """sobel(unit ramp) == sqrt(2) per skimage: the smoothed central
+    difference is 2·slope, magnitude sqrt(2²+0)/sqrt(2) = sqrt(2) (an
+    extra /2 on the derivative tap used to halve every output)."""
     ramp = np.tile(np.arange(16, dtype=np.float32), (16, 1))
     got = np.asarray(classical.sobel(jnp.asarray(ramp)))
     # skimage.filters.sobel(unit ramp) == sqrt(2): central difference 2,
@@ -551,3 +552,59 @@ def test_remove_small_holes_skimage_semantics():
     big = np.ones((20, 20), bool)
     big[5:15, 5:15] = False       # 100-px hole stays
     assert not morphology.remove_small_holes(big, 6)[5:15, 5:15].any()
+
+
+def test_remove_small_objects_threshold_is_strict():
+    """skimage semantics: an object of EXACTLY min_size is kept (counts <
+    min_size are removed). An inclusive off-by-one would silently drop
+    fibers of exactly min_fiber_size pixels."""
+    labels = np.zeros((20, 20), np.int32)
+    labels[2:7, 2] = 1           # exactly 5 px
+    labels[10:14, 10] = 2        # 4 px
+    out = morphology.remove_small_objects(labels, min_size=5)
+    assert (out == 1).sum() == 5          # kept at the boundary
+    assert (out == 2).sum() == 0          # below threshold removed
+
+
+def test_crofton_counts_shared_boundaries():
+    """Two touching squares must each keep the perimeter of the ISOLATED
+    square — an implementation counting only label→background transitions
+    would under-report the shared interface for both."""
+    touching = np.zeros((20, 20), np.int32)
+    touching[5:13, 2:10] = 1
+    touching[5:13, 10:18] = 2     # shares the full right edge of 1
+    isolated = np.zeros((20, 20), np.int32)
+    isolated[5:13, 5:13] = 1
+    per_touch = np.asarray(sr.moment_features(jnp.asarray(touching), 3)
+                           ["perimeter"])
+    per_iso = np.asarray(sr.moment_features(jnp.asarray(isolated), 2)
+                         ["perimeter"])
+    np.testing.assert_allclose(per_touch[1], per_iso[1], rtol=1e-6)
+    np.testing.assert_allclose(per_touch[2], per_iso[1], rtol=1e-6)
+
+
+def test_clahe_is_actually_adaptive(rng):
+    """A global equalization passes the shape/range/contrast properties —
+    bind tile-locality: with a strong cross-image brightness gradient,
+    CLAHE must equalize LOCAL texture contrast in the dark half up toward
+    the bright half's, and shrinking kernel_size must change the output."""
+    yy, xx = np.mgrid[:96, :96]
+    texture = 0.05 * np.asarray(rng.random((96, 96)), np.float32)
+    img = (0.1 + 0.8 * (xx / 95.0)).astype(np.float32) * 0.5 + texture
+    img = (img - img.min()) / (img.max() - img.min())
+
+    out_small = np.asarray(classical.equalize_adapthist(
+        jnp.asarray(img), kernel_size=24))
+    out_large = np.asarray(classical.equalize_adapthist(
+        jnp.asarray(img), kernel_size=96))
+    # kernel size must matter (a global equalize ignores it)
+    assert np.abs(out_small - out_large).max() > 0.05
+
+    def local_std(a, sl):
+        return float(a[:, sl].std())
+
+    dark, bright = slice(4, 28), slice(68, 92)
+    ratio_in = local_std(img, dark) / local_std(img, bright)
+    ratio_out = local_std(out_small, dark) / local_std(out_small, bright)
+    # adaptive equalization pulls the two halves' local contrast together
+    assert abs(ratio_out - 1.0) < abs(ratio_in - 1.0)

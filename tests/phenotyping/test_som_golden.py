@@ -98,9 +98,11 @@ def test_consensus_matrix_block_structure_on_clean_groups(rng):
     cc.fit(data)
     M = cc.Mk[0]
     same = comps[:, None] == comps[None, :]
-    co_sampled = M > -1  # all entries valid post-normalization
-    assert M[same & co_sampled].mean() > 0.95
-    assert M[~same & co_sampled].mean() < 0.05
+    # every entry must be a valid consensus fraction (the +1e-8-smoothed
+    # division keeps never-co-sampled pairs near 0, not NaN/sentinel)
+    assert np.isfinite(M).all() and (M >= 0).all() and (M <= 1).all()
+    assert M[same].mean() > 0.95
+    assert M[~same].mean() < 0.05
     # predict() clusters 1-Mk and must reproduce the planted partition
     labels = cc.predict()
     from sklearn.metrics import adjusted_rand_score
