@@ -45,7 +45,12 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except RuntimeError as e:
-        if "already initialized" not in str(e).lower():
+        # jax's actual double-init message is 'distributed.initialize
+        # should only be called once.' (jax 0.9); older builds said
+        # 'already initialized' — accept both, re-raise anything else
+        msg = str(e).lower()
+        if ("already initialized" not in msg
+                and "should only be called once" not in msg):
             raise
 
 

@@ -61,7 +61,14 @@ def create_fov_pixel_data(fov, channels, img_data, seg_labels,
     channel, flatten to pixel×channel with row/column indices (+ seg label),
     drop below-threshold and all-zero rows, row-normalize, subset a fraction
     for SOM training. Returns (pixel_mat, pixel_mat_subset) DataFrames."""
-    channels = io_utils.natsorted(channels)
+    # reorder the DATA axis together with the names — natsorting only the
+    # column labels silently put CD8's values under the CD4 column for any
+    # direct caller passing unsorted channels
+    channels_sorted = io_utils.natsorted(channels)
+    if list(channels_sorted) != list(channels):
+        idx = [list(channels).index(c) for c in channels_sorted]
+        img_data = np.asarray(img_data)[..., idx]
+    channels = channels_sorted
     h, w = img_data.shape[:2]
     norm, valid = _prep_fov_device(
         jnp.asarray(img_data, jnp.float32), jnp.float32(pixel_thresh_val),
@@ -86,8 +93,14 @@ def preprocess_fov(base_dir, tiff_dir, data_dir, subset_dir, seg_dir,
                    channel_norm_df, fov):
     """Load one FOV, channel-normalize, run `create_fov_pixel_data`, and save
     the full + subsetted feathers (reference :83-185)."""
-    img_xr = load_utils.load_imgs_from_tree(
-        tiff_dir, img_sub_folder=img_sub_folder, fovs=[fov])
+    if is_mibitiff:
+        # flat multichannel single-file FOVs — the tree loader expects
+        # per-FOV directories and would fail or load the wrong data
+        img_xr = load_utils.load_imgs_from_mibitiff(
+            tiff_dir, mibitiff_files=[fov + ".tiff"])
+    else:
+        img_xr = load_utils.load_imgs_from_tree(
+            tiff_dir, img_sub_folder=img_sub_folder, fovs=[fov])
     verify_in_list(provided_chans=channels,
                    pixel_mat_chans=list(img_xr.coords["channels"]))
     seg_labels = None
@@ -229,6 +242,10 @@ def create_pixel_matrix(fovs, channels, base_dir, tiff_dir, seg_dir,
         quant_fov = fov_vals.replace(0, np.nan).quantile(
             q=channel_percentile_post_rownorm, axis=0).rename(fov)
         quant_fov.index.name = "channel"
+        # a reprocessed FOV (deleted/corrupt feather, quantile already
+        # recorded) must REPLACE its column, not collide into fov_x/fov_y
+        if fov in quant_dat_all.columns:
+            quant_dat_all = quant_dat_all.drop(columns=[fov])
         quant_dat_all = quant_dat_all.merge(quant_fov, how="outer",
                                             left_index=True, right_index=True)
         quant_dat_all.to_csv(quantile_path)
@@ -243,4 +260,7 @@ def create_pixel_matrix(fovs, channels, base_dir, tiff_dir, seg_dir,
     feather.write_dataframe(
         mean_quant.T, os.path.join(base_dir, norm_vals_name_post_rownorm),
         compression="uncompressed")
-    os.remove(quantile_path)
+    # the per-FOV quantile CSV is KEPT as the cohort's normalization
+    # ledger (the reference deletes it, :456 — which makes any later
+    # incremental run overwrite the cohort norm with the mean over only
+    # the newly added FOVs; executed counterexample in the r2 review)

@@ -86,12 +86,37 @@ def merge_masks_single(object_mask: np.ndarray, cell_mask: np.ndarray,
             overlaps.setdefault(int(u // (num_cell_labels + 1)), []).append(
                 (int(u % (num_cell_labels + 1)), int(c)))
 
+    # candidate gate (reference get_bounding_boxes + filter_labels_in_bbox):
+    # a cell may merge into an object only if the cell's centroid falls
+    # inside the object's bbox expanded by expansion_factor — without it a
+    # long cell grazing a small object by >thresh% of its area merges from
+    # far outside the object's neighborhood
+    obj_slices = ndi.find_objects(object_labels)
+    cy = np.zeros(num_cell_labels + 1)
+    cx = np.zeros(num_cell_labels + 1)
+    if num_cell_labels:
+        yy, xx = np.indices(cell_labels.shape)
+        sizes_safe = np.maximum(cell_sizes, 1)
+        cy = np.bincount(cell_flat, weights=yy.reshape(-1),
+                         minlength=num_cell_labels + 1) / sizes_safe
+        cx = np.bincount(cell_flat, weights=xx.reshape(-1),
+                         minlength=num_cell_labels + 1) / sizes_safe
+
     for obj_label in range(1, num_object_labels + 1):
         best_overlap = 0
         cell_to_merge_label = None
+        sl = obj_slices[obj_label - 1]
+        if sl is None:
+            continue
+        y0 = sl[0].start - expansion_factor
+        y1 = sl[0].stop + expansion_factor
+        x0 = sl[1].start - expansion_factor
+        x1 = sl[1].stop + expansion_factor
         for cell_label, overlap in overlaps.get(obj_label, []):
+            in_bbox = (y0 <= cy[cell_label] < y1
+                       and x0 <= cx[cell_label] < x1)
             meets = overlap / cell_sizes[cell_label] > overlap_thresh / 100
-            if overlap > best_overlap and meets:
+            if overlap > best_overlap and meets and in_bbox:
                 best_overlap = overlap
                 cell_to_merge_label = cell_label
         if cell_to_merge_label is not None:

@@ -47,8 +47,12 @@ def match_nuclei_to_cells(cell_labels: np.ndarray,
     uniq, counts = np.unique(pairs, return_counts=True)
     cell_of = uniq // (int(nucs.max()) + 1)
     nuc_of = uniq % (int(nucs.max()) + 1)
-    # pick max count per cell: sort by (cell, count) and take last per cell
-    order = np.lexsort((counts, cell_of))
+    # pick max count per cell: sort by (cell, count, -nuc) and take last
+    # per cell — on overlap-count ties this selects the LOWEST nucleus id,
+    # matching find_nuclear_label_id / the reference's per-cell argmax over
+    # ascending unique ids (a bare (counts, cell) lexsort picked the
+    # highest id, diverging on tied cells)
+    order = np.lexsort((-nuc_of, counts, cell_of))
     cell_sorted, nuc_sorted = cell_of[order], nuc_of[order]
     last = np.r_[np.flatnonzero(np.diff(cell_sorted)), len(cell_sorted) - 1]
     return {int(c): int(n) for c, n in zip(cell_sorted[last], nuc_sorted[last])}

@@ -123,7 +123,9 @@ def compute_topic_eda(features, featurization, topics, silhouette=False,
     gap statistic, per-cluster feature counts."""
     if num_boots is not None and num_boots < 25:
         raise ValueError("Number of bootstrap samples must be at least 25")
-    if min(topics) <= 2 or max(topics) >= features.shape[0] - 1:
+    # inclusive bounds matching the error message (the reference's <= / >=
+    # checks, processing.py:273, reject both advertised endpoints)
+    if min(topics) < 2 or max(topics) > features.shape[0] - 1:
         raise ValueError("Number of topics must be in [2, %d]"
                          % (features.shape[0] - 1))
     stat_names = ["inertia", "silhouette", "gap_stat", "gap_sds",

@@ -34,7 +34,11 @@ class StageRecord:
         if self.items is not None:
             d["items"] = self.items
             d["unit"] = self.unit
-            d["per_second"] = round(self.throughput, 2)
+            # throughput is None for zero-duration stages (sub-resolution
+            # timers); rounding None raised from StageTimer's finally
+            # block, masking the stage's own result
+            if self.throughput is not None:
+                d["per_second"] = round(self.throughput, 2)
         return d
 
 

@@ -97,9 +97,10 @@ def test_create_pixel_matrix_outputs_and_norm_contract(cohort):
                       .quantile(0.999))
     want = pd.concat(quants, axis=1).mean(axis=1)
     np.testing.assert_allclose(post.iloc[0].values, want.values, rtol=1e-6)
-    # the intermediate per-FOV quantile CSV is cleaned up
-    assert not (base / "pixel_mat_data"
-                / "channel_norm_post_rownorm_perfov.csv").exists()
+    # the per-FOV quantile CSV is KEPT as the cohort ledger so later
+    # incremental runs can recompute the cohort mean over ALL FOVs
+    assert (base / "pixel_mat_data"
+            / "channel_norm_post_rownorm_perfov.csv").exists()
 
 
 def test_create_pixel_matrix_resume_skips_done_fovs(cohort, capsys):
@@ -202,7 +203,7 @@ def test_resume_heals_missing_cohort_norm_file(cohort, capsys):
     healed = feather.read_dataframe(norm_path)
     pd.testing.assert_frame_equal(
         healed, saved_norm, check_exact=False, rtol=1e-6)
-    assert not quant_csv.exists()             # intermediate cleaned up
+    assert quant_csv.exists()                 # ledger kept for increments
 
     # and a THIRD run now skips cleanly
     capsys.readouterr()
@@ -235,3 +236,30 @@ def test_som_avg_files_in_resumed_session_does_not_crash(cohort, capsys):
             data_dir="pixel_mat_data")
     assert any("resumed run" in str(x.message) for x in w)
     assert (base / "pixel_channel_avg_som_cluster.csv").exists()
+
+
+def test_incremental_fov_addition_keeps_cohort_norms(cohort, capsys):
+    """Adding a FOV to a completed cohort must recompute the norm over ALL
+    FOVs — the reference deletes the quantile ledger after completion and
+    a later incremental run overwrites the cohort norm with the mean over
+    only the new FOVs (executed counterexample in the r2 review)."""
+    base, _ = cohort
+    _run(base, fovs=("fov0", "fov1"))
+    partial_norm = feather.read_dataframe(
+        base / "channel_norm_post_rownorm.feather")
+    _run(base)   # now the full 3-FOV cohort
+    full_norm = feather.read_dataframe(
+        base / "channel_norm_post_rownorm.feather")
+    # oracle: mean over the 3 per-FOV 99.9% quantiles
+    quants = []
+    for fov in ("fov0", "fov1", "fov2"):
+        df = feather.read_dataframe(base / "pixel_mat_data"
+                                    / f"{fov}.feather")
+        quants.append(df[sorted(CHANNELS)].replace(0, np.nan)
+                      .quantile(0.999))
+    want = pd.concat(quants, axis=1).mean(axis=1)
+    np.testing.assert_allclose(full_norm.iloc[0].values,
+                               want[full_norm.columns].values, rtol=1e-6)
+    # and it genuinely changed from the 2-FOV norm
+    assert not np.allclose(full_norm.iloc[0].values,
+                           partial_norm.iloc[0].values)
