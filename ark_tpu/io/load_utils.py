@@ -74,21 +74,20 @@ def load_imgs_from_tree(data_dir: str, img_sub_folder: Optional[str] = None,
     from PIL import Image
 
     max_h = max_w = 0
-    sizes = []
     for fov in fovs:
         path = os.path.join(data_dir, fov, img_sub_folder, channel_files[0])
         with Image.open(path) as im:
             w, h = im.size
-        sizes.append((h, w))
         max_h, max_w = max(max_h, h), max(max_w, w)
     if max_image_size is not None:
         max_h = max_w = max_image_size
 
-    # dtype probe over the first FOV's channels (promotes mixed dtypes)
+    # dtype probe over the first FOV's channels (promotes mixed dtypes);
+    # the probe images are reused to fill row 0 below, so the first FOV is
+    # only read once
     probe = [read_image(os.path.join(data_dir, fovs[0], img_sub_folder, cf))
              for cf in channel_files]
     native_dtype = _infer_dtype(probe)
-    del probe
     out_dtype = np.dtype(dtype) if dtype is not None else native_dtype
     if (dtype is not None and np.issubdtype(out_dtype, np.integer)
             and np.issubdtype(native_dtype, np.floating)):
@@ -103,7 +102,10 @@ def load_imgs_from_tree(data_dir: str, img_sub_folder: Optional[str] = None,
     # pad ragged FOVs to the cohort max (keeps the device block dense/static)
     out = np.zeros((len(fovs), max_h, max_w, len(channel_files)),
                    dtype=out_dtype)
-    for i, fov in enumerate(fovs):
+    for j, img in enumerate(probe):
+        out[0, :img.shape[0], :img.shape[1], j] = img
+    del probe
+    for i, fov in enumerate(fovs[1:], start=1):
         fdir = os.path.join(data_dir, fov, img_sub_folder)
         for j, cf in enumerate(channel_files):
             img = read_image(os.path.join(fdir, cf))

@@ -71,8 +71,14 @@ def _read_channel_names(ome_path: str, n_channels: int) -> List[str]:
         names = re.findall(r'Name="([^"]+)"', desc)
         if len(names) == n_channels:
             return names
-    except Exception:
-        pass
+        reason = (f"found {len(names)} Name attributes in the OME-XML "
+                  f"description for {n_channels} channels")
+    except Exception as e:  # metadata recovery must never block the load
+        reason = f"{type(e).__name__}: {e}"
+    import warnings
+    warnings.warn(
+        f"could not recover channel names from {ome_path} ({reason}); "
+        f"falling back to generic channel_N names")
     return [f"channel_{i}" for i in range(n_channels)]
 
 

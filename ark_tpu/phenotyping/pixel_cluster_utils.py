@@ -178,9 +178,7 @@ def compute_pixel_cluster_channel_avg(fovs, channels, base_dir,
         try:
             fov_data = feather.read_dataframe(
                 os.path.join(base_dir, pixel_data_dir, fov + ".feather"))
-        except (OSError, IOError, Exception) as e:  # ArrowInvalid subclasses
-            if type(e).__name__ not in ("ArrowInvalid", "OSError", "IOError"):
-                raise
+        except FEATHER_READ_ERRORS:
             print(f"The data for FOV {fov} has been corrupted, skipping")
             continue
         g = fov_data.groupby(pixel_cluster_col)
@@ -211,24 +209,76 @@ def ignore_extended_attributes(func, filename, exc) -> None:
         raise
 
 
+# Errors a truncated/corrupted feather file can raise on a schema or data
+# read. Caught by explicit class (ADVICE r2): pyarrow raises ArrowInvalid on
+# bad magic, ArrowIOError/OSError on short reads, and ValueError from some
+# footer-decode paths — an unrelated error class still propagates.
+try:  # pyarrow is a hard dep of io.feather_utils, but guard anyway
+    import pyarrow.lib as _pa_lib
+    _ARROW_ERRORS = (_pa_lib.ArrowInvalid, _pa_lib.ArrowIOError)
+except Exception:  # pragma: no cover - pyarrow always present in this env
+    _ARROW_ERRORS = ()
+FEATHER_READ_ERRORS = _ARROW_ERRORS + (OSError, IOError, ValueError)
+
+
 def _readable_feather(path: str) -> bool:
     """True if the feather's schema is readable (a truncated file from a
     killed run is not)."""
     try:
         feather.read_column_names(path)
         return True
-    except (OSError, IOError, Exception) as e:
-        if type(e).__name__ not in ("ArrowInvalid", "OSError", "IOError"):
-            raise
+    except FEATHER_READ_ERRORS:
         return False
 
 
-def valid_temp_files(data_path: str) -> set:
+_STAGE_MARKER = ".stage"
+
+
+def _temp_stage(data_path: str):
+    """Stage tag recorded inside `<data_path>_temp`, or None if untagged."""
+    try:
+        with open(os.path.join(data_path + "_temp", _STAGE_MARKER)) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def claim_temp_dir(data_path: str, stage: str) -> bool:
+    """Create (or adopt) `<data_path>_temp` for `stage`, returning True if
+    the dir pre-existed for the SAME stage (resumable progress).
+
+    The SOM-assignment, consensus, and remap stages all stage into the same
+    `<data>_temp` path; a temp dir stranded by a DIFFERENT stage's crash
+    must not count as this stage's progress (its files lack this stage's
+    labels and would be committed unprocessed — ADVICE r2). Such a stranded
+    dir is wiped: its originals are intact, because the lossless
+    `commit_temp_dir` never removes originals before the swap."""
+    import shutil
+
+    temp_path = data_path + "_temp"
+    resumable = False
+    if os.path.exists(temp_path):
+        if _temp_stage(data_path) == stage:
+            resumable = True
+        else:
+            shutil.rmtree(temp_path, onexc=ignore_extended_attributes)
+    if not os.path.exists(temp_path):
+        os.mkdir(temp_path)
+    with open(os.path.join(temp_path, _STAGE_MARKER), "w") as f:
+        f.write(stage)
+    return resumable
+
+
+def valid_temp_files(data_path: str, stage: str = None) -> set:
     """Feather filenames in `<data_path>_temp` that are intact. Files a
     killed run truncated mid-write do NOT count as processed — they must be
-    redone, and `commit_temp_dir` must not let them shadow the originals."""
+    redone, and `commit_temp_dir` must not let them shadow the originals.
+    With `stage` given, a temp dir tagged for a different stage counts as
+    having no valid files (its progress belongs to that other stage)."""
     temp_path = data_path + "_temp"
     if not os.path.exists(temp_path):
+        return set()
+    if stage is not None and _temp_stage(data_path) != stage:
         return set()
     return {f for f in io_utils.list_files(temp_path, substrs=".feather")
             if _readable_feather(os.path.join(temp_path, f))}
@@ -253,6 +303,9 @@ def commit_temp_dir(data_path: str) -> None:
         if f not in intact:
             shutil.move(os.path.join(data_path, f),
                         os.path.join(temp_path, f))
+    marker = os.path.join(temp_path, _STAGE_MARKER)
+    if os.path.exists(marker):  # stage tag must not land in the data dir
+        os.remove(marker)
     shutil.rmtree(data_path, onexc=ignore_extended_attributes)
     shutil.move(temp_path, data_path)
 
@@ -262,9 +315,7 @@ def _file_missing_col(path: str, missing_col: str) -> bool:
     (corrupted files are surfaced to the stage, which skips + reports)."""
     try:
         return missing_col not in feather.read_column_names(path)
-    except (OSError, IOError, Exception) as e:
-        if type(e).__name__ not in ("ArrowInvalid", "OSError", "IOError"):
-            raise
+    except FEATHER_READ_ERRORS:
         return True
 
 
@@ -277,17 +328,26 @@ def find_fovs_missing_col(base_dir, data_dir, missing_col) -> List[str]:
     `commit_temp_dir` swap permits mixed per-file states, e.g. after a
     subset-of-FOVs run. Schema reads don't touch the data, so this stays
     O(cohort) in file opens, not bytes."""
+    import shutil
+
     data_path = os.path.join(base_dir, data_dir)
     temp_path = os.path.join(base_dir, data_dir + "_temp")
     io_utils.validate_paths(data_path)
 
-    if not os.path.exists(temp_path):
+    in_progress = (os.path.exists(temp_path)
+                   and _temp_stage(data_path) == missing_col)
+    if not in_progress:
+        if os.path.exists(temp_path):
+            # stranded by a DIFFERENT stage's crash (stage tags differ) —
+            # its partial work belongs to that stage and its originals are
+            # intact; wipe it rather than counting it as progress here
+            shutil.rmtree(temp_path, onexc=ignore_extended_attributes)
         fov_files = io_utils.list_files(data_path, substrs=".feather")
         missing = [f for f in fov_files
                    if _file_missing_col(os.path.join(data_path, f),
                                         missing_col)]
         if missing:
-            os.mkdir(temp_path)
+            claim_temp_dir(data_path, missing_col)
             return io_utils.remove_file_extensions(missing)
         return []
     # in-progress: redo files that still lack the col and are not ALREADY
@@ -296,5 +356,5 @@ def find_fovs_missing_col(base_dir, data_dir, missing_col) -> List[str]:
     data_files = set(
         f for f in io_utils.list_files(data_path, substrs=".feather")
         if _file_missing_col(os.path.join(data_path, f), missing_col))
-    temp_files = valid_temp_files(data_path)
+    temp_files = valid_temp_files(data_path, stage=missing_col)
     return io_utils.remove_file_extensions(list(data_files - temp_files))

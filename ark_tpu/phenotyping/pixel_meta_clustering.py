@@ -27,9 +27,7 @@ def run_pixel_consensus_assignment(pixel_data_path, pixel_cc_obj,
     fov_path = os.path.join(pixel_data_path, fov + ".feather")
     try:
         fov_data = feather.read_dataframe(fov_path)
-    except (OSError, IOError, Exception) as e:
-        if type(e).__name__ not in ("ArrowInvalid", "OSError", "IOError"):
-            raise
+    except pixel_cluster_utils.FEATHER_READ_ERRORS:
         return fov, 1
     fov_data = pixel_cc_obj.assign_consensus_labels(fov_data)
     temp_path = os.path.join(pixel_data_path + "_temp", fov + ".feather")
@@ -54,7 +52,8 @@ def pixel_consensus_cluster(fovs, channels, base_dir, max_k=20, cap=3,
         if os.path.exists(pixel_data_path + "_temp"):
             rmtree(pixel_data_path + "_temp",
                    onexc=pixel_cluster_utils.ignore_extended_attributes)
-        os.mkdir(pixel_data_path + "_temp")
+        pixel_cluster_utils.claim_temp_dir(pixel_data_path,
+                                           "pixel_meta_cluster")
         fovs_list = io_utils.remove_file_extensions(
             io_utils.list_files(pixel_data_path, substrs=".feather"))
     else:
@@ -139,9 +138,7 @@ def update_pixel_meta_labels(pixel_data_path, pixel_remapped_dict,
     fov_path = os.path.join(pixel_data_path, fov + ".feather")
     try:
         fov_data = feather.read_dataframe(fov_path)
-    except (OSError, IOError, Exception) as e:
-        if type(e).__name__ not in ("ArrowInvalid", "OSError", "IOError"):
-            raise
+    except pixel_cluster_utils.FEATHER_READ_ERRORS:
         return fov, 1
     verify_in_list(fov_som_labels=fov_data["pixel_som_cluster"].unique(),
                    som_labels_in_mapping=list(pixel_remapped_dict.keys()))
@@ -175,8 +172,9 @@ def apply_pixel_meta_cluster_remapping(fovs, channels, base_dir,
         ["pixel_meta_cluster", "pixel_meta_cluster_rename"]
     ].drop_duplicates().values)
 
-    if not os.path.exists(pixel_data_path + "_temp"):
-        os.mkdir(pixel_data_path + "_temp")
+    # the stage tag ("remap") keeps a temp dir stranded by a crashed SOM or
+    # consensus stage from masquerading as remap progress (ADVICE r2)
+    if not pixel_cluster_utils.claim_temp_dir(pixel_data_path, "remap"):
         fov_list = fovs
     else:
         # resume after a crash: done-ness for a remap is "validly written
@@ -184,7 +182,8 @@ def apply_pixel_meta_cluster_remapping(fovs, channels, base_dir,
         # edited CSV rewrites files that already carry the column from the
         # previous mapping, so a column check would skip them all
         done = {os.path.splitext(f)[0] for f in
-                pixel_cluster_utils.valid_temp_files(pixel_data_path)}
+                pixel_cluster_utils.valid_temp_files(pixel_data_path,
+                                                     stage="remap")}
         fov_list = [f for f in fovs if f not in done]
         if fov_list:
             print(f"Restarting meta cluster remapping assignment from "

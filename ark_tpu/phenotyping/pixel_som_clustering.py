@@ -53,9 +53,7 @@ def run_pixel_som_assignment(pixel_data_path, pixel_pysom_obj, overwrite,
     fov_path = os.path.join(pixel_data_path, fov + ".feather")
     try:
         fov_data = feather.read_dataframe(fov_path)
-    except (OSError, IOError, Exception) as e:
-        if type(e).__name__ not in ("ArrowInvalid", "OSError", "IOError"):
-            raise
+    except pixel_cluster_utils.FEATHER_READ_ERRORS:
         return fov, 1
     if overwrite:
         fov_data = fov_data.drop(columns="pixel_som_cluster", errors="ignore")
@@ -90,9 +88,7 @@ def cluster_pixels(fovs, base_dir, pixel_pysom, data_dir="pixel_mat_data",
                 sample_fov = sample_fov.rename(
                     columns={"segmentation_label": "label"})
             break
-        except (OSError, IOError, Exception) as e:
-            if type(e).__name__ not in ("ArrowInvalid", "OSError", "IOError"):
-                raise
+        except pixel_cluster_utils.FEATHER_READ_ERRORS:
             continue
     cols_to_drop = ["fov", "row_index", "column_index"]
     for col in ["label", "pixel_som_cluster", "pixel_meta_cluster",
@@ -116,7 +112,7 @@ def cluster_pixels(fovs, base_dir, pixel_pysom, data_dir="pixel_mat_data",
         if os.path.exists(data_path + "_temp"):
             rmtree(data_path + "_temp",
                    onexc=pixel_cluster_utils.ignore_extended_attributes)
-        os.mkdir(data_path + "_temp")
+        pixel_cluster_utils.claim_temp_dir(data_path, "pixel_som_cluster")
         fovs_list = io_utils.remove_file_extensions(
             io_utils.list_files(data_path, substrs=".feather"))
     else:

@@ -53,7 +53,11 @@ def generate_deepcell_input(data_dir, tiff_dir, nuc_channels, mem_channels,
                 fovs=fov_name, channels=list(mem_channels)).values,
                 axis=-1, dtype=acc.dtype)
         out_dtype = np.dtype(dtype) if is_int else in_dtype
-        if is_int and acc.max() > np.iinfo(out_dtype).max:
+        # overflow check only makes sense for an integer target; a caller
+        # requesting e.g. dtype='float32' on integer inputs gets a plain
+        # astype (np.iinfo would raise TypeError on a float dtype)
+        if (is_int and np.issubdtype(out_dtype, np.integer)
+                and acc.max() > np.iinfo(out_dtype).max):
             promoted = np.promote_types(
                 out_dtype, np.min_scalar_type(int(acc.max())))
             warnings.warn(

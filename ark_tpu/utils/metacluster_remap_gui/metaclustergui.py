@@ -453,8 +453,11 @@ class MetaClusterGui:
         # pixel-count bars follow the metacluster-sorted cluster order
         counts = self.mcd.clusters.join(
             self.mcd.cluster_pixelcounts)["count"]
-        ymax = float(counts.max()) * 1.65
-        self.ax_cp.set_ylim(0, ymax)
+        peak = counts.max()  # pandas max skips NaN; NaN if empty/all-NaN
+        ymax = float(peak) * 1.65 if peak == peak else 0.0
+        # clamp: an all-zero count column would set_ylim(0, 0) — degenerate
+        # axis plus a matplotlib warning
+        self.ax_cp.set_ylim(0, max(ymax, 1.0))
         for rect, h in zip(self.rects_cp, counts.values):
             rect.set_height(h)
 

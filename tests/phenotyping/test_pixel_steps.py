@@ -10,7 +10,8 @@ import pandas as pd
 import pytest
 
 from ark_tpu.io import feather_utils as feather
-from ark_tpu.phenotyping import (cluster_helpers, pixel_meta_clustering,
+from ark_tpu.phenotyping import (cluster_helpers, pixel_cluster_utils,
+                                 pixel_meta_clustering,
                                  pixel_som_clustering)
 
 CHANNELS = ["chan0", "chan1", "chan2"]
@@ -332,7 +333,8 @@ def test_re_remap_resume_with_edited_csv(pixel_base):
     # second remap with an edited CSV dies after fov0: temp holds fov0 only
     write_remap("second")
     temp = pixel_base / "pixel_mat_data_temp"
-    temp.mkdir()
+    pixel_cluster_utils.claim_temp_dir(
+        str(pixel_base / "pixel_mat_data"), "remap")
     remap2 = pd.read_csv(pixel_base / "remap.csv")
     rd = dict(remap2[["pixel_som_cluster", "pixel_meta_cluster"]].values)
     nd = dict(remap2[["pixel_meta_cluster",
@@ -357,7 +359,8 @@ def test_truncated_temp_file_is_redone_not_committed(pixel_base):
     from ark_tpu.phenotyping import pixel_cluster_utils as pcu
     pysom = _train(pixel_base)
     temp = pixel_base / "pixel_mat_data_temp"
-    temp.mkdir()
+    pcu.claim_temp_dir(str(pixel_base / "pixel_mat_data"),
+                       "pixel_som_cluster")
     (temp / "fov1.feather").write_bytes(b"trunc")   # killed mid-write
     missing = pcu.find_fovs_missing_col(str(pixel_base), "pixel_mat_data",
                                         "pixel_som_cluster")
@@ -374,9 +377,12 @@ def test_stranded_complete_temp_dir_gets_committed(pixel_base, capsys):
     """Run killed between the last FOV write and the swap: the next call
     sees nothing left to assign but must commit the stranded temp."""
     pysom = _train(pixel_base)
-    # simulate: a full run's output sits in temp; data files unlabeled
+    # simulate: a full run's output sits in temp; data files unlabeled.
+    # claim_temp_dir stage-tags it exactly as the killed run would have —
+    # an untagged temp dir reads as another stage's strand and is redone
     temp = pixel_base / "pixel_mat_data_temp"
-    temp.mkdir()
+    pixel_cluster_utils.claim_temp_dir(
+        str(pixel_base / "pixel_mat_data"), "pixel_som_cluster")
     for fov in FOVS:
         df = feather.read_dataframe(
             pixel_base / "pixel_mat_data" / f"{fov}.feather")
@@ -391,6 +397,45 @@ def test_stranded_complete_temp_dir_gets_committed(pixel_base, capsys):
         df = feather.read_dataframe(
             pixel_base / "pixel_mat_data" / f"{fov}.feather")
         assert "pixel_som_cluster" in df.columns
+
+
+def test_cross_stage_stranded_temp_not_counted_as_remap_progress(pixel_base):
+    """ADVICE r2: a temp dir stranded by a crashed SOM/consensus stage must
+    not be mistaken for remap progress — without the stage tag, its files
+    (which lack the new remap CSV's names) would be committed as 'done'."""
+    pysom = _train(pixel_base)
+    pixel_som_clustering.cluster_pixels(FOVS, str(pixel_base), pysom,
+                                        data_dir="pixel_mat_data")
+    pixel_som_clustering.generate_som_avg_files(
+        FOVS, CHANNELS, str(pixel_base), pysom, data_dir="pixel_mat_data")
+    pixel_meta_clustering.pixel_consensus_cluster(
+        FOVS, CHANNELS, str(pixel_base), max_k=3, data_dir="pixel_mat_data")
+    som_avg = pd.read_csv(pixel_base / "pixel_channel_avg_som_cluster.csv")
+
+    # simulate a consensus-stage re-run killed after writing every FOV to
+    # temp (tagged for the consensus stage, missing any rename column)
+    data_path = str(pixel_base / "pixel_mat_data")
+    temp = pixel_base / "pixel_mat_data_temp"
+    pixel_cluster_utils.claim_temp_dir(data_path, "pixel_meta_cluster")
+    for fov in FOVS:
+        df = feather.read_dataframe(
+            pixel_base / "pixel_mat_data" / f"{fov}.feather")
+        feather.write_dataframe(df, temp / f"{fov}.feather")
+
+    remap = som_avg[["pixel_som_cluster"]].copy()
+    remap["pixel_meta_cluster"] = (som_avg["pixel_som_cluster"] % 2) + 1
+    remap["pixel_meta_cluster_rename"] = remap["pixel_meta_cluster"].map(
+        lambda m: f"renamed_{m}")
+    remap.to_csv(pixel_base / "remap.csv", index=False)
+
+    pixel_meta_clustering.apply_pixel_meta_cluster_remapping(
+        FOVS, CHANNELS, str(pixel_base), "pixel_mat_data", "remap.csv")
+    assert not temp.exists()
+    for fov in FOVS:  # every FOV actually remapped, none skipped as 'done'
+        df = feather.read_dataframe(
+            pixel_base / "pixel_mat_data" / f"{fov}.feather")
+        assert df["pixel_meta_cluster_rename"].str.startswith(
+            "renamed_").all()
 
 
 def test_consensus_cluster_returns_cc_on_skip_path(pixel_base):
