@@ -4,8 +4,10 @@ Fresh implementations of the skimage ops the reference leans on
 (`fiber_segmentation.py:324-356`: CLAHE equalize_adapthist, Frangi
 vesselness, Sobel elevation, multi-Otsu thresholds; `ez_object_segmentation`:
 local-adaptive thresholds, Meijering-style ridge filter). Hessians/gradients
-run as separable Gaussian-derivative convolutions on device (XLA); the
-histogram-equalization table math is vectorized numpy on host.
+run as separable Gaussian-derivative convolutions on device (XLA); CLAHE is
+a jitted scatter-add/cumsum/gather program on device; multi-Otsu is a DP
+over a 256-entry histogram (host numpy — the data-sized work is the
+histogram, not the search).
 """
 
 from __future__ import annotations
@@ -62,8 +64,20 @@ def sobel(img: jax.Array) -> jax.Array:
 
 def multi_otsu(img: np.ndarray, classes: int = 3,
                nbins: int = 256) -> np.ndarray:
-    """Multi-Otsu thresholds (classes=3 → 2 thresholds) maximizing
-    between-class variance; vectorized over all threshold pairs."""
+    """Multi-Otsu thresholds for any number of classes (skimage
+    `threshold_multiotsu` semantics, reference use at
+    `src/ark/segmentation/fiber_segmentation.py:114`).
+
+    Maximizes the between-class variance ∑ m_k²/w_k over all placements of
+    `classes-1` cuts via dynamic programming on histogram prefix sums —
+    O(classes·nbins²) instead of the O(nbins^(classes-1)) exhaustive sweep,
+    so classes ≥ 4 are exact rather than unsupported. Each returned
+    threshold is the bin center of the first bin of the class above the cut.
+    The DP runs on the 256-entry histogram — host numpy; the image-sized
+    histogramming cost is negligible next to the device pipeline stages
+    around it."""
+    if classes < 2:
+        raise ValueError("multi_otsu requires classes >= 2")
     img = np.asarray(img, np.float64).ravel()
     lo, hi = img.min(), img.max()
     if hi <= lo:
@@ -71,88 +85,69 @@ def multi_otsu(img: np.ndarray, classes: int = 3,
     hist, bin_edges = np.histogram(img, bins=nbins, range=(lo, hi))
     centers = (bin_edges[:-1] + bin_edges[1:]) / 2
     p = hist / hist.sum()
-    # cumulative zeroth/first moments
-    w = np.cumsum(p)
-    mu = np.cumsum(p * centers)
-    if classes == 2:
-        w0 = w
-        mu0 = mu
-        w1 = 1 - w0
-        mu_t = mu[-1]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            var = (mu_t * w0 - mu0) ** 2 / np.maximum(w0 * w1, 1e-12)
-        t = int(np.nanargmax(var[:-1]))
-        return np.array([centers[t]])
-    if classes != 3:
-        raise NotImplementedError("multi_otsu supports classes in {2, 3}")
-    # class stats for all (t1 < t2) pairs via prefix sums
-    W = np.concatenate([[0.0], w])
-    M = np.concatenate([[0.0], mu])
-
-    def seg(a, b):  # mass & mean of bins (a, b]
-        wseg = W[b] - W[a]
-        mseg = M[b] - M[a]
-        return wseg, mseg
-
-    t1 = np.arange(1, nbins - 1)[:, None]
-    t2 = np.arange(2, nbins)[None, :]
-    valid = t1 < t2
-    w0, m0 = seg(0, t1)
-    w1, m1 = seg(t1, t2)
-    w2, m2 = seg(t2, nbins)
+    W = np.concatenate([[0.0], np.cumsum(p)])
+    M = np.concatenate([[0.0], np.cumsum(p * centers)])
+    # S[a, b] = m²/w of the class spanning bins [a, b) (0 if massless);
+    # only a < b is a legal (non-empty) class span
+    wseg = W[None, :] - W[:, None]
+    mseg = M[None, :] - M[:, None]
     with np.errstate(divide="ignore", invalid="ignore"):
-        var = (np.where(w0 > 0, m0 ** 2 / w0, 0)
-               + np.where(w1 > 0, m1 ** 2 / w1, 0)
-               + np.where(w2 > 0, m2 ** 2 / w2, 0))
-    var = np.where(valid, var, -np.inf)
-    i, j = np.unravel_index(np.argmax(var), var.shape)
-    return np.array([centers[t1[i, 0]], centers[t2[0, j]]])
+        S = np.where(wseg > 0, mseg * mseg / np.where(wseg > 0, wseg, 1.0),
+                     0.0)
+    edge = np.arange(nbins + 1)
+    S = np.where(edge[:, None] < edge[None, :], S, -np.inf)
+
+    # best[b] = max objective for the classes so far covering bins [0, b);
+    # one argmax table per added cut for backtracking
+    best = S[0]
+    cut_arg = []
+    for _ in range(classes - 1):
+        tot = best[:, None] + S                  # (cut t, end b)
+        arg = np.argmax(tot, axis=0)             # ties -> lowest cut
+        cut_arg.append(arg)
+        best = tot[arg, edge]
+    cuts = []
+    b = nbins
+    for arg in reversed(cut_arg):
+        b = int(arg[b])
+        cuts.append(b)
+    cuts = cuts[::-1]
+    return centers[np.array(cuts)]
 
 
-def equalize_adapthist(img: np.ndarray, kernel_size=None,
-                       clip_limit: float = 0.01,
-                       nbins: int = 256) -> np.ndarray:
-    """CLAHE: tile-wise clipped histogram equalization with bilinear blending
-    of neighboring tile transfer functions. Input in [0, 1]; output in [0, 1].
-    """
-    img = np.asarray(img, np.float64)
+@functools.partial(jax.jit,
+                   static_argnames=("th", "tw", "n_tr", "n_tc", "nbins"))
+def _clahe_device(img: jax.Array, th: int, tw: int, n_tr: int, n_tc: int,
+                  clip_limit: float, nbins: int) -> jax.Array:
+    """Jitted CLAHE core: per-tile histograms as one scatter-add, clipped
+    cdf transfer functions, bilinear blend of the 4 surrounding tiles."""
     h, w = img.shape
-    if kernel_size is None:
-        kernel_size = (h // 8, w // 8)
-    if np.isscalar(kernel_size):
-        kernel_size = (int(kernel_size), int(kernel_size))
-    th = max(int(round(kernel_size[0])), 2)
-    tw = max(int(round(kernel_size[1])), 2)
-    n_tr = max(int(np.ceil(h / th)), 1)
-    n_tc = max(int(np.ceil(w / tw)), 1)
     ph, pw = n_tr * th, n_tc * tw
-    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="symmetric")
+    padded = jnp.pad(img.astype(jnp.float32),
+                     ((0, ph - h), (0, pw - w)), mode="symmetric")
 
-    bins = np.clip((padded * (nbins - 1)).astype(np.int64), 0, nbins - 1)
-    # per-tile histograms via one flat bincount
-    tr = np.arange(ph) // th
-    tc = np.arange(pw) // tw
+    bins = jnp.clip((padded * (nbins - 1)).astype(jnp.int32), 0, nbins - 1)
+    tr = jnp.arange(ph, dtype=jnp.int32) // th
+    tc = jnp.arange(pw, dtype=jnp.int32) // tw
     tile_idx = tr[:, None] * n_tc + tc[None, :]
     flat = tile_idx * nbins + bins
-    hists = np.bincount(flat.ravel(), minlength=n_tr * n_tc * nbins)
-    hists = hists.reshape(n_tr, n_tc, nbins).astype(np.float64)
+    hists = jnp.zeros(n_tr * n_tc * nbins, jnp.float32).at[
+        flat.ravel()].add(1.0).reshape(n_tr, n_tc, nbins)
 
-    # clip + redistribute
-    clip = max(clip_limit * th * tw, 1.0)
-    excess = np.maximum(hists - clip, 0).sum(axis=2, keepdims=True)
-    hists = np.minimum(hists, clip) + excess / nbins
-    cdf = np.cumsum(hists, axis=2)
+    clip = jnp.maximum(clip_limit * th * tw, 1.0)
+    excess = jnp.maximum(hists - clip, 0).sum(axis=2, keepdims=True)
+    hists = jnp.minimum(hists, clip) + excess / nbins
+    cdf = jnp.cumsum(hists, axis=2)
     cdf = cdf / cdf[:, :, -1:]                                   # (tr, tc, B)
 
-    # bilinear blend of the 4 surrounding tile mappings at each pixel
-    yy = (np.arange(ph) + 0.5) / th - 0.5
-    xx = (np.arange(pw) + 0.5) / tw - 0.5
-    y0 = np.clip(np.floor(yy).astype(int), 0, n_tr - 1)
-    x0 = np.clip(np.floor(xx).astype(int), 0, n_tc - 1)
-    y1 = np.clip(y0 + 1, 0, n_tr - 1)
-    x1 = np.clip(x0 + 1, 0, n_tc - 1)
-    fy = np.clip(yy - y0, 0, 1)[:, None]
-    fx = np.clip(xx - x0, 0, 1)[None, :]
+    yy = (jnp.arange(ph, dtype=jnp.float32) + 0.5) / th - 0.5
+    xx = (jnp.arange(pw, dtype=jnp.float32) + 0.5) / tw - 0.5
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, n_tr - 1)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, n_tc - 1)
+    y1 = jnp.clip(y0 + 1, 0, n_tr - 1)
+    x1 = jnp.clip(x0 + 1, 0, n_tc - 1)
+    fy = jnp.clip(yy - y0, 0, 1)[:, None]
+    fx = jnp.clip(xx - x0, 0, 1)[None, :]
 
     b = bins
     c00 = cdf[y0[:, None], x0[None, :], b]
@@ -162,6 +157,31 @@ def equalize_adapthist(img: np.ndarray, kernel_size=None,
     out = ((1 - fy) * ((1 - fx) * c00 + fx * c01)
            + fy * ((1 - fx) * c10 + fx * c11))
     return out[:h, :w]
+
+
+def equalize_adapthist(img, kernel_size=None, clip_limit: float = 0.01,
+                       nbins: int = 256) -> np.ndarray:
+    """CLAHE: tile-wise clipped histogram equalization with bilinear blending
+    of neighboring tile transfer functions. Input in [0, 1]; output in [0, 1].
+
+    Runs on device (reference: skimage `equalize_adapthist`,
+    `src/ark/segmentation/fiber_segmentation.py:93`): the per-tile
+    histograms are a single scatter-add over the tiled image, the transfer
+    functions a cumsum, the blend a gather — one jitted program, retraced
+    only per distinct (image shape, tile geometry)."""
+    arr = jnp.asarray(img)
+    h, w = arr.shape
+    if kernel_size is None:
+        kernel_size = (h // 8, w // 8)
+    if np.isscalar(kernel_size):
+        kernel_size = (int(kernel_size), int(kernel_size))
+    th = max(int(round(kernel_size[0])), 2)
+    tw = max(int(round(kernel_size[1])), 2)
+    n_tr = max(-(-h // th), 1)
+    n_tc = max(-(-w // tw), 1)
+    return np.asarray(_clahe_device(arr, th, tw, n_tr, n_tc,
+                                    float(clip_limit), int(nbins)),
+                      np.float64)
 
 
 @functools.partial(jax.jit, static_argnames=("sigma",))

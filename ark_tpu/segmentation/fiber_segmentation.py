@@ -8,9 +8,9 @@ generate_summary_stats :499-573).
 
 Pipeline per FOV (reference steps :324-356): Gaussian blur → CLAHE → Frangi
 ridge filter → EDT of thresholded ridges → multi-Otsu 3-class markers →
-Sobel elevation → watershed → small-object removal. Blur/CLAHE/Frangi/Sobel
-run on device (ark_tpu.ops); EDT is scipy's C kernel; the watershed flood is
-the native C++ kernel."""
+Sobel elevation → watershed → small-object removal. Blur/CLAHE/Frangi/EDT/
+Sobel run on device (ark_tpu.ops, exact EDT in `ops/edt.py`); the watershed
+flood is the native C++ kernel."""
 
 from __future__ import annotations
 
@@ -27,7 +27,8 @@ from ark_tpu import settings
 from ark_tpu.io import io_utils, load_utils
 from ark_tpu.io.image_utils import read_image, save_image
 from ark_tpu.io.misc_utils import verify_in_list
-from ark_tpu.ops import classical, distances as dist_ops, image_filters
+from ark_tpu.ops import classical, distances as dist_ops, edt as edt_ops
+from ark_tpu.ops import image_filters
 from ark_tpu.ops import morphology, segment_reduce
 from ark_tpu.ops import watershed as watershed_ops
 
@@ -71,8 +72,9 @@ def _fiber_steps(fiber_channel_data, fov_len, blur, contrast_scaling_divisor,
     ridges = classical.frangi(contrast_adjusted, sigmas=fiber_widths,
                               black_ridges=False) * 10000
     distance_transformed = np.asarray(image_filters.gaussian_blur(
-        jnp.asarray(ndi.distance_transform_edt(ridges > ridge_cutoff),
-                    jnp.float32), sigma=1))
+        edt_ops.distance_transform_edt(
+            jnp.asarray(ridges) > ridge_cutoff).astype(jnp.float32),
+        sigma=1))
     thresholds = classical.multi_otsu(distance_transformed, classes=3)
     threshed = np.zeros_like(distance_transformed)
     threshed[distance_transformed < thresholds[0]] = 1

@@ -18,6 +18,8 @@ from typing import Dict, Tuple
 
 import numpy as np
 
+from ark_tpu.ops import edt as edt_ops
+
 
 def synthetic_cells(rng: np.random.Generator, n_images: int, hw: int = 64,
                     n_cells: Tuple[int, int] = (4, 9),
@@ -92,7 +94,8 @@ def targets_from_labels(labels: np.ndarray) -> Dict[str, np.ndarray]:
         if fg.any():
             # EDT within the union; cells are planted non-touching so the
             # per-cell transform equals the union transform restricted to it
-            edt = ndi.distance_transform_edt(fg).astype(np.float32)
+            edt = np.asarray(edt_ops.distance_transform_edt(fg),
+                             np.float32)
             maxima = ndi.maximum(edt, labels=lab,
                                  index=np.arange(1, lab.max() + 1))
             per_cell_max = np.concatenate([[1.0], np.maximum(maxima, 1e-6)])
