@@ -10,42 +10,45 @@ remote GPU predict → download); this build runs the PanopticNet in-process
 
 Layer-name map (Keras → flax param tree)
 -----------------------------------------
-Backbone — tf.keras.applications.ResNet50 names:
+The authoritative list of expected Keras layer names and weight shapes is
+`tests/models/deepcell_layer_manifest.json`, transcribed from the public
+deepcell-tf / keras-applications sources (provenance + per-section
+certainty notes in `scripts/make_deepcell_manifest.py`) — NOT from this
+module, so the converter test is not circular. The map:
 
-  conv1_conv / conv1_bn                 → ResNet50Backbone_0/{Conv_0, BatchNorm_0}
-  conv{s}_block{b}_{k}_conv/_bn, k=1..3 → BottleneckBlock_i/{Conv_{k-1}, BatchNorm_{k-1}}
-  conv{s}_block1_0_conv/_0_bn (shortcut)→ BottleneckBlock_i/{Conv_3, BatchNorm_3}
+  tensor_product (channel-dense 4→3)     → tensor_product (nn.Dense)
+  conv1_conv / conv1_bn                  → ResNet50Backbone_0/{Conv_0, BatchNorm_0}
+  conv{s}_block{b}_{k}_conv/_bn, k=1..3  → BottleneckBlock_i/{Conv_{k-1}, BatchNorm_{k-1}}
+  conv{s}_block1_0_conv/_0_bn (shortcut) → BottleneckBlock_i/{Conv_3, BatchNorm_3}
+    (i enumerates blocks stage-major: stage s∈{2..5} with (3,4,6,3) blocks)
+  C{l}_reduced / P{l}, l=3..5            → FPN_0/{C{l}_reduced, P{l}}   (same names)
+  P6 / P7                                → FPN_0/{P6, P7}
+  conv_{i}_semantic_upsample_{n}         → {head_n}/upsample_conv_{i}
+  tensor_product_0_semantic_{n}          → {head_n}/dense_0 (nn.Dense)
+  batch_normalization_0_semantic_{n}     → {head_n}/bn_0
+  tensor_product_1_semantic_{n}          → {head_n}/dense_1
 
-  where i enumerates blocks in stage-major order: stage s∈{2..5} with
-  (3,4,6,3) blocks → i = sum(blocks before stage) + (b-1).
-
-FPN — deepcell-tf `fpn.__create_pyramid_features` names:
-
-  C{l}_reduced (1×1 lateral), l=2..5    → FPN_0/Conv_{l-2}
-  P{l} (3×3 smoothing)                  → FPN_0/Conv_{l+2}
-
-Semantic heads — deepcell-tf `fpn.__create_semantic_head` convs for
-semantic id n (PanopticNet num_semantic_classes=[1, 3, 1, 3] in Mesmer's
-order: 0=whole-cell inner-distance, 1=whole-cell pixelwise, 2=nuclear
-inner-distance, 3=nuclear pixelwise):
-
-  layers matching *semantic*{n}* in file order → {comp}_{head}/Conv_0..3
+  where head_n for n=0..3 is whole_cell_inner, whole_cell_pixelwise,
+  nuclear_inner, nuclear_pixelwise (PanopticNet num_semantic_classes=
+  [1, 3, 1, 3] in Mesmer's order).
 
 Weight tensors: Keras Conv2D kernels are (H, W, in, out) — identical to
-flax, no transpose. BatchNorm gamma/beta/moving_mean/moving_variance →
+flax, no transpose; TensorProduct kernels are (in, out) — identical to
+nn.Dense. BatchNorm gamma/beta/moving_mean/moving_variance →
 scale/bias/mean/var (scale+bias in `params`, mean+var in `batch_stats`).
-Keras ResNet convs carry a bias even though BN follows; flax convs here are
-bias-free, so the bias is folded into the following BN's moving mean
-(BN(Wx + b) ≡ BN'(Wx) with mean' = mean − b).
+Keras ResNet convs carry a bias even though BN follows; the flax backbone
+convs are bias-free, so the bias is folded into the following BN's moving
+mean (BN(Wx + b) ≡ BN'(Wx) with mean' = mean − b). FPN and head layers
+keep their biases (flax use_bias=True there, matching Keras).
 
 Every assignment is shape-checked; conversion fails loudly listing any
-unmapped Keras weights or unfilled flax leaves — a head-architecture
-mismatch is detected, never silently mis-assigned.
+unmapped Keras weights or unfilled flax leaves — a misread of deepcell-tf's
+naming/ordering is detected, never silently mis-assigned, and the error
+list doubles as the manifest-update instruction if deepcell-tf changes.
 """
 
 from __future__ import annotations
 
-import re
 import sys
 from typing import Dict, List, Tuple
 
@@ -95,64 +98,79 @@ def _backbone_block_names(stages=RESNET50_STAGES) -> List[Tuple[str, str]]:
     return pairs
 
 
+def _node(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def _assign_bn(params, batch_stats, scope: List[str], bn_name: str,
+               layers, keras_bn: str, errors: List[str],
+               fold_bias=None) -> None:
+    """gamma/beta → scale/bias, moving stats → batch_stats; optionally fold
+    a preceding conv's bias into the moving mean."""
+    bn_src = layers.get(keras_bn)
+    if bn_src is None:
+        errors.append(f"missing keras layer {keras_bn}")
+        return
+    p_bn = _node(params, scope)[bn_name]
+    s_bn = _node(batch_stats, scope)[bn_name]
+    gamma = bn_src.get("gamma")
+    if gamma is None or gamma.shape != tuple(np.shape(p_bn["scale"])):
+        errors.append(f"{keras_bn}: gamma {None if gamma is None else gamma.shape}"
+                      f" != flax {tuple(np.shape(p_bn['scale']))}")
+        return
+    p_bn["scale"] = gamma.astype(np.float32)
+    p_bn["bias"] = bn_src["beta"].astype(np.float32)
+    mean = bn_src["moving_mean"].astype(np.float32)
+    if fold_bias is not None:
+        mean = mean - fold_bias.astype(np.float32)
+    s_bn["mean"] = mean
+    s_bn["var"] = bn_src["moving_variance"].astype(np.float32)
+
+
 def _assign_conv_bn(params, batch_stats, scope: List[str], conv_name: str,
                     bn_name: str, layers, keras_conv: str, keras_bn: str,
                     errors: List[str]):
     """Assign one keras conv(+bias-fold)+bn pair into the flax tree."""
-    def node(tree, path):
-        for p in path:
-            tree = tree[p]
-        return tree
-
     conv_src = layers.get(keras_conv)
     if conv_src is None:
         errors.append(f"missing keras layer {keras_conv}")
         return
     kern = conv_src.get("kernel")
-    tgt = node(params, scope)[conv_name]
+    tgt = _node(params, scope)[conv_name]
     if kern.shape != tuple(tgt["kernel"].shape):
         errors.append(f"{keras_conv}: kernel {kern.shape} != flax "
                       f"{tuple(tgt['kernel'].shape)}")
         return
     tgt["kernel"] = kern.astype(np.float32)
-
-    bias = conv_src.get("bias")
-    bn_src = layers.get(keras_bn)
-    if bn_src is None:
-        errors.append(f"missing keras layer {keras_bn}")
-        return
-    p_bn = node(params, scope)[bn_name]
-    s_bn = node(batch_stats, scope)[bn_name]
-    p_bn["scale"] = bn_src["gamma"].astype(np.float32)
-    p_bn["bias"] = bn_src["beta"].astype(np.float32)
-    mean = bn_src["moving_mean"].astype(np.float32)
-    if bias is not None:
-        mean = mean - bias.astype(np.float32)   # fold conv bias into BN mean
-    s_bn["mean"] = mean
-    s_bn["var"] = bn_src["moving_variance"].astype(np.float32)
+    _assign_bn(params, batch_stats, scope, bn_name, layers, keras_bn,
+               errors, fold_bias=conv_src.get("bias"))
 
 
-def _assign_conv(params, scope: List[str], conv_name: str, layers,
-                 keras_layer: str, errors: List[str]):
+def _assign_weighted(params, scope: List[str], leaf_name: str, layers,
+                     keras_layer: str, errors: List[str]):
+    """Assign a conv or dense (kernel + optional bias) by exact shape."""
     src = layers.get(keras_layer)
     if src is None:
         errors.append(f"missing keras layer {keras_layer}")
         return
-    tree = params
-    for p in scope:
-        tree = tree[p]
-    tgt = tree[conv_name]
-    kern = src["kernel"]
-    if kern.shape != tuple(tgt["kernel"].shape):
-        errors.append(f"{keras_layer}: kernel {kern.shape} != flax "
-                      f"{tuple(tgt['kernel'].shape)}")
+    tgt = _node(params, scope)[leaf_name]
+    kern = src.get("kernel")
+    if kern is None or kern.shape != tuple(np.shape(tgt["kernel"])):
+        errors.append(
+            f"{keras_layer}: kernel {None if kern is None else kern.shape} "
+            f"!= flax {tuple(np.shape(tgt['kernel']))}")
         return
     tgt["kernel"] = kern.astype(np.float32)
     if "bias" in src and "bias" in tgt:
         tgt["bias"] = src["bias"].astype(np.float32)
     elif "bias" in src:
-        errors.append(f"{keras_layer}: keras bias present but flax conv "
+        errors.append(f"{keras_layer}: keras bias present but flax layer "
                       f"is bias-free (no following BN to fold into)")
+    elif "bias" in tgt:
+        errors.append(f"{keras_layer}: flax layer expects a bias but the "
+                      f"keras layer has none")
 
 
 def convert(layers: "Dict[str, Dict[str, np.ndarray]]",
@@ -175,6 +193,11 @@ def convert(layers: "Dict[str, Dict[str, np.ndarray]]",
     def mark(*names):
         used.update(n for n in names if n in layers)
 
+    # input fixer (PanopticNet TensorProduct after the Location2D concat)
+    _assign_weighted(params, [], "tensor_product", layers, "tensor_product",
+                     errors)
+    mark("tensor_product")
+
     # stem
     bb = ["ResNet50Backbone_0"]
     _assign_conv_bn(params, batch_stats, bb, "Conv_0", "BatchNorm_0",
@@ -196,32 +219,29 @@ def convert(layers: "Dict[str, Dict[str, np.ndarray]]",
                             f"{keras_prefix}_0_bn", errors)
             mark(f"{keras_prefix}_0_conv", f"{keras_prefix}_0_bn")
 
-    # FPN laterals + smoothing
-    for li, level in enumerate(range(2, 6)):
-        _assign_conv(params, ["FPN_0"], f"Conv_{li}", layers,
-                     f"C{level}_reduced", errors)
-        _assign_conv(params, ["FPN_0"], f"Conv_{li + 4}", layers,
-                     f"P{level}", errors)
-        mark(f"C{level}_reduced", f"P{level}")
+    # FPN laterals + smoothing + retinanet extras (flax leaf names were
+    # chosen to equal the keras names — see unet.FPN)
+    for name in [f"C{l}_reduced" for l in (3, 4, 5)] + \
+                [f"P{l}" for l in (3, 4, 5, 6, 7)]:
+        _assign_weighted(params, ["FPN_0"], name, layers, name, errors)
+        mark(name)
 
-    # semantic heads: keras layers matching *semantic_{n}* in file order
+    # semantic heads, by explicit deepcell-tf names (no file-order guess)
     for n, flax_head in enumerate(SEMANTIC_HEADS):
-        pat = re.compile(rf"semantic[_-]?{n}(\D|$)")
-        head_layers = [name for name in layers
-                       if pat.search(name) and "kernel" in layers[name]]
-        flax_convs = sorted(params[flax_head],
-                            key=lambda s: int(s.split("_")[-1]))
-        if len(head_layers) != len(flax_convs):
-            errors.append(
-                f"head {flax_head}: {len(head_layers)} keras conv layers "
-                f"match 'semantic_{n}' but flax head has {len(flax_convs)} "
-                f"(architecture mismatch — adjust SemanticHead or map "
-                f"manually)")
-            continue
-        for keras_layer, conv_name in zip(head_layers, flax_convs):
-            _assign_conv(params, [flax_head], conv_name, layers,
-                         keras_layer, errors)
-            mark(keras_layer)
+        scope = [flax_head]
+        for i in range(3):
+            _assign_weighted(params, scope, f"upsample_conv_{i}", layers,
+                             f"conv_{i}_semantic_upsample_{n}", errors)
+            mark(f"conv_{i}_semantic_upsample_{n}")
+        _assign_weighted(params, scope, "dense_0", layers,
+                         f"tensor_product_0_semantic_{n}", errors)
+        _assign_bn(params, batch_stats, scope, "bn_0", layers,
+                   f"batch_normalization_0_semantic_{n}", errors)
+        _assign_weighted(params, scope, "dense_1", layers,
+                         f"tensor_product_1_semantic_{n}", errors)
+        mark(f"tensor_product_0_semantic_{n}",
+             f"batch_normalization_0_semantic_{n}",
+             f"tensor_product_1_semantic_{n}")
 
     leftovers = [n for n in layers if n not in used
                  and any(k in ("kernel", "gamma") for k in layers[n])]
@@ -238,7 +258,8 @@ def convert_file(h5_path: str, npz_path: str) -> None:
 
     _, variables = unet.init_mesmer(dtype=np.float32)
     converted = convert(read_keras_h5(h5_path), variables)
-    unet.save_params_npz(npz_path, converted)
+    unet.save_params_npz(npz_path, converted,
+                         config={"dtype": "float32"})
 
 
 if __name__ == "__main__":

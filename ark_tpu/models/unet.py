@@ -5,13 +5,18 @@ Replaces the reference's remote DeepCell/Mesmer REST service
 poll → download) with an in-process JAX model so FOV batches run on TPU.
 
 Architecture follows the published Mesmer configuration (deepcell-tf
-PanopticNet): a ResNet50 encoder, a feature-pyramid decoder, and four semantic
-heads — for each compartment (whole-cell, nuclear) an inner-distance
+PanopticNet topology, transcribed in tests/models/deepcell_layer_manifest.json):
+input → Location2D coordinate-channel concat → channel-fixing dense
+(TensorProduct to the backbone's 3 channels) → ResNet50 encoder → feature
+pyramid over C3–C5 with retinanet-style P6/P7 extras → four semantic heads
+fed from P3 — for each compartment (whole-cell, nuclear) an inner-distance
 regression head (1 channel, ReLU) and a pixelwise classification head
 (3 classes: interior / border / background, softmax). Input is a 2-channel
 (nuclear, membrane) image batch in NHWC. Weights are random-initialized unless
 loaded from an `.npz` (the zero-egress build cannot fetch published weights;
-`load_params_npz` accepts a converted checkpoint).
+`load_params_npz` accepts a checkpoint converted by
+`ark_tpu.models.convert_deepcell`, whose layer-name map targets the same
+manifest).
 
 TPU notes: all convs run in bfloat16 by default with float32 params/outputs
 (MXU-friendly); shapes are static; the whole forward jits into one program.
@@ -89,44 +94,69 @@ class ResNet50Backbone(nn.Module):
         return feats  # [C2, C3, C4, C5]
 
 
-def _upsample(x, factor: int):
-    b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h * factor, w * factor, c), "nearest")
-
-
 class FPN(nn.Module):
-    """Top-down feature pyramid: laterals + upsample-add, 256 channels."""
+    """deepcell-tf `fpn.__create_pyramid_features` topology over C3–C5:
+    1×1 laterals (`C{l}_reduced`), bilinear top-down adds, 3×3 smoothing
+    (`P{l}`), plus the retinanet-style extras P6 = stride-2 3×3 on C5 and
+    P7 = stride-2 3×3 on relu(P6). P6/P7 exist in the published weights
+    even though the semantic heads consume only P3 — they are created here
+    too (XLA dead-code-eliminates their compute when unused) so a converted
+    checkpoint maps 1:1 with no leftover layers."""
     channels: int = 256
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, feats):
-        laterals = [nn.Conv(self.channels, (1, 1), dtype=self.dtype)(f)
-                    for f in feats]
-        out = [laterals[-1]]
+        levels = (3, 4, 5)                       # feats = [C3, C4, C5]
+        laterals = [nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                            name=f"C{l}_reduced")(f)
+                    for l, f in zip(levels, feats)]
+        tops = [laterals[-1]]
         for lat in laterals[-2::-1]:
-            out.append(lat + _upsample(out[-1], 2))
-        out = out[::-1]  # [P2, P3, P4, P5]
-        return [nn.Conv(self.channels, (3, 3), padding="SAME",
-                        dtype=self.dtype)(p) for p in out]
+            b, h, w, c = lat.shape
+            tops.append(lat + jax.image.resize(
+                tops[-1].astype(jnp.float32), (b, h, w, c),
+                "bilinear").astype(self.dtype))
+        tops = tops[::-1]
+        pyr = [nn.Conv(self.channels, (3, 3), padding="SAME",
+                       dtype=self.dtype, name=f"P{l}")(t)
+               for l, t in zip(levels, tops)]
+        p6 = nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="SAME",
+                     dtype=self.dtype, name="P6")(feats[-1])
+        p7 = nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="SAME",
+                     dtype=self.dtype, name="P7")(nn.relu(p6))
+        return pyr + [p6, p7]                    # [P3, P4, P5, P6, P7]
 
 
 class SemanticHead(nn.Module):
-    """Upsample P2 to input resolution, then predict n_classes maps."""
+    """deepcell-tf `fpn.__create_semantic_head` topology: from the finest
+    pyramid level (P3, stride 8), three rounds of 3×3 conv + relu + 2×
+    bilinear upsample back to input resolution (`semantic_upsample`,
+    conv_{i}_semantic_upsample_{id}), then a channel-dense (TensorProduct)
+    to `dense_features` + BatchNorm + relu, then a channel-dense to
+    n_classes. Module/leaf names are the converter's targets."""
     n_classes: int
+    upsample_filters: int = 64
+    dense_features: int = 128
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, p2, out_hw):
-        x = p2
-        # 2 conv+upsample steps: stride 4 -> 1
-        for _ in range(2):
-            x = nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype)(x)
+    def __call__(self, p3, out_hw, train: bool = False):
+        x = p3
+        for i in range(3):
+            x = nn.Conv(self.upsample_filters, (3, 3), padding="SAME",
+                        dtype=self.dtype, name=f"upsample_conv_{i}")(x)
             x = nn.relu(x)
-            x = _upsample(x, 2)
-        x = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            b, h, w, c = x.shape
+            # the last step is an UpsampleLike straight to the input size
+            th, tw = (out_hw if i == 2 else (h * 2, w * 2))
+            x = jax.image.resize(x.astype(jnp.float32), (b, th, tw, c),
+                                 "bilinear").astype(self.dtype)
+        x = nn.Dense(self.dense_features, dtype=self.dtype, name="dense_0")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=self.dtype, name="bn_0")(x)
         x = nn.relu(x)
-        return nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32)(x)
+        return nn.Dense(self.n_classes, dtype=jnp.float32, name="dense_1")(x)
 
 
 class PanopticNet(nn.Module):
@@ -146,6 +176,12 @@ class PanopticNet(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     base_width: int = 64
     fpn_channels: int = 256
+    head_upsample_filters: int = 64
+    head_dense_features: int = 128
+    # deepcell PanopticNet(location=True): concatenate normalized (y, x)
+    # coordinate channels, then a channel-dense maps to the backbone's
+    # required 3 channels ('tensor_product' in the published weights)
+    location: bool = True
     # published Mesmer uses relu on the inner-distance head; training from
     # scratch with MSE kills saturating heads on mostly-zero targets (relu:
     # all pre-activations go negative -> zero grad; softplus: driven to -inf
@@ -157,18 +193,34 @@ class PanopticNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jax.Array]:
+        out_hw = x.shape[1:3]
         x = x.astype(self.dtype)
+        if self.location:
+            # deepcell Location2D: (y, x) grids normalized to [0, 1] by the
+            # max index, stacked channel-last in (y, x) order
+            b, h, w, _ = x.shape
+            ys = jnp.arange(h, dtype=jnp.float32) / max(h - 1, 1)
+            xs = jnp.arange(w, dtype=jnp.float32) / max(w - 1, 1)
+            loc = jnp.stack(jnp.meshgrid(ys, xs, indexing="ij"), axis=-1)
+            loc = jnp.broadcast_to(loc[None], (b, h, w, 2))
+            x = jnp.concatenate([x, loc.astype(self.dtype)], axis=-1)
+        x = nn.Dense(3, dtype=self.dtype, name="tensor_product")(x)
         feats = ResNet50Backbone(dtype=self.dtype,
                                  stage_sizes=tuple(self.stage_sizes),
                                  base_width=self.base_width)(x, train)
-        pyramid = FPN(channels=self.fpn_channels, dtype=self.dtype)(feats)
-        p2 = pyramid[0]
+        pyramid = FPN(channels=self.fpn_channels,
+                      dtype=self.dtype)(feats[1:])   # C3, C4, C5
+        p3 = pyramid[0]
         out = {}
         for comp in self.compartments:
-            inner = SemanticHead(1, dtype=self.dtype, name=f"{comp}_inner")(
-                p2, x.shape[1:3])
-            pixelwise = SemanticHead(3, dtype=self.dtype,
-                                     name=f"{comp}_pixelwise")(p2, x.shape[1:3])
+            inner = SemanticHead(
+                1, upsample_filters=self.head_upsample_filters,
+                dense_features=self.head_dense_features, dtype=self.dtype,
+                name=f"{comp}_inner")(p3, out_hw, train)
+            pixelwise = SemanticHead(
+                3, upsample_filters=self.head_upsample_filters,
+                dense_features=self.head_dense_features, dtype=self.dtype,
+                name=f"{comp}_pixelwise")(p3, out_hw, train)
             act = {"relu": nn.relu, "softplus": nn.softplus,
                    "linear": lambda y: y}[self.inner_activation]
             out[f"{comp}_inner_distance"] = act(inner)
@@ -204,13 +256,14 @@ def init_mesmer(seed: int = 0, input_shape=(1, 256, 256, 2),
 
 def init_mesmer_mini(seed: int = 0, input_shape=(1, 64, 64, 2),
                      dtype=jnp.float32):
-    """A small PanopticNet (~0.46M params): 1-block stages, width 16,
-    64-channel FPN, linear inner-distance head (trained from scratch).
+    """A small PanopticNet: 1-block stages, width 16, 64-channel FPN,
+    narrow heads, linear inner-distance head (trained from scratch).
     Same code path as the full Mesmer configuration; used for
     synthetic-data training demos and the planted-instance e2e tests."""
     return init_mesmer(seed=seed, input_shape=input_shape, dtype=dtype,
                        stage_sizes=(1, 1, 1, 1), base_width=16,
-                       fpn_channels=64, inner_activation="linear")
+                       fpn_channels=64, head_upsample_filters=32,
+                       head_dense_features=64, inner_activation="linear")
 
 
 def load_params_npz(path: str, return_config: bool = False):

@@ -169,7 +169,8 @@ def train_on_synthetic(steps: int = 400, n_images: int = 24, hw: int = 64,
                             learning_rate=learning_rate, seed=seed)
     if weights_out is not None:
         config = {"stage_sizes": [1, 1, 1, 1], "base_width": 16,
-                  "fpn_channels": 64, "inner_activation": "linear",
+                  "fpn_channels": 64, "head_upsample_filters": 32,
+                  "head_dense_features": 64, "inner_activation": "linear",
                   "dtype": "float32"} if mini else {"dtype": "float32"}
         unet.save_params_npz(weights_out, variables, config=config)
     app = Mesmer(model=model, variables=variables)
