@@ -16,20 +16,37 @@ def pairwise_distances(a: jax.Array, b: jax.Array,
                        zero_diagonal: bool = False) -> jax.Array:
     """Euclidean distances between rows of a (N,D) and b (M,D); (N, M).
 
-    Uses the ||a||²−2ab+||b||² decomposition (MXU matmul), floored at 0.
-    Pass `zero_diagonal=True` for self-distance matrices (a vs a): the MXU's
-    accumulation makes d_ii a small POSITIVE value on TPU (not exactly 0),
-    which would let `dist > 0` self-exclusion masks count a cell as its own
+    D ≤ 4 (centroid space) computes |a−b|² DIRECTLY: the ||a||²−2ab+||b||²
+    decomposition cancels catastrophically for close pairs at large
+    coordinate magnitudes (f32 eps at ‖a‖² ~ 5e7 is ±4 in d², so two cells
+    1.5 px apart at the far corner of a 5000-px stage computed d = 0 and
+    were dropped by downstream `dist > 0` self-exclusion masks — caught by
+    the config-5 oracle), and a K=2 contraction gains nothing from the MXU.
+    Larger D (feature-space distances) keeps the decomposition (MXU matmul,
+    relative cancellation there is benign), floored at 0.
+
+    Pass `zero_diagonal=True` for self-distance matrices (a vs a): float
+    accumulation makes d_ii a small POSITIVE value (not exactly 0), which
+    would let `dist > 0` self-exclusion masks count a cell as its own
     nearest neighbor — the diagonal is forced to exact 0.
     """
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
-    a2 = jnp.sum(a * a, axis=1)[:, None]
-    b2 = jnp.sum(b * b, axis=1)[None, :]
-    # HIGHEST: TPU's default bf16 matmul would round the coordinates
-    # (~0.4% relative) while the CPU suite validates true-f32 numerics
-    d2 = a2 + b2 - 2.0 * jnp.dot(a, b.T,
-                                 precision=jax.lax.Precision.HIGHEST)
+    if a.shape[1] <= 4:
+        # unrolled per-axis (N, M) terms rather than one (N, M, D) broadcast
+        # tensor: XLA fuses the adds, peak memory stays one (N, M) buffer
+        d2 = None
+        for k in range(a.shape[1]):
+            diff = a[:, k][:, None] - b[:, k][None, :]
+            term = diff * diff
+            d2 = term if d2 is None else d2 + term
+    else:
+        a2 = jnp.sum(a * a, axis=1)[:, None]
+        b2 = jnp.sum(b * b, axis=1)[None, :]
+        # HIGHEST: TPU's default bf16 matmul would round the coordinates
+        # (~0.4% relative) while the CPU suite validates true-f32 numerics
+        d2 = a2 + b2 - 2.0 * jnp.dot(a, b.T,
+                                     precision=jax.lax.Precision.HIGHEST)
     d = jnp.sqrt(jnp.maximum(d2, 0.0))
     if zero_diagonal:
         n, m = d.shape
@@ -70,3 +87,49 @@ def knn_mean_distance(dist_cols: jax.Array, k: int) -> jax.Array:
     masked = jnp.where(dist_cols > 0, dist_cols, jnp.inf)
     neg_topk, _ = jax.lax.top_k(-masked, k)
     return jnp.mean(-neg_topk, axis=1)
+
+
+@jax.jit
+def _neighbor_count_block(block: jax.Array, all_coords: jax.Array,
+                          onehot: jax.Array, dist_lim: jax.Array,
+                          row_offset: jax.Array) -> jax.Array:
+    """(B, P) neighbor-phenotype counts for one row block: distances from
+    `block` to every cell, thresholded, matmul'd against the one-hot
+    phenotype matrix. Exclusion follows the reference's `dist == 0` rule
+    (`compute_neighbor_counts` with self_neighbor=False) — the diagonal is
+    forced to exact 0 by index so the MXU's small positive self-distances
+    can't leak the cell back in."""
+    d = pairwise_distances(block, all_coords)
+    n_b = block.shape[0]
+    self_mask = (jnp.arange(n_b)[:, None] + row_offset
+                 == jnp.arange(all_coords.shape[0])[None, :])
+    d = jnp.where(self_mask, 0.0, d)
+    close = ((d < dist_lim) & (d > 0)).astype(jnp.float32)
+    return jnp.dot(close, onehot, precision=jax.lax.Precision.HIGHEST)
+
+
+def blocked_neighbor_counts(coords, onehot, dist_lim: float,
+                            block_rows: int = 4096) -> np.ndarray:
+    """Per-cell neighbor-phenotype counts WITHOUT the (N, N) distance
+    matrix: peak device memory is one (block_rows, N) block.
+
+    The reference materializes the full per-FOV distance matrix and then
+    matmuls (`spatial_analysis_utils.py:277-338`) — at >50k cells that
+    matrix alone is 10+ GB (BASELINE.json config 5); this streams row
+    blocks through the same thresholded matmul and keeps only the (N, P)
+    counts.
+
+    Args: coords (N, 2/D) float centroids; onehot (N, P) phenotype matrix;
+    dist_lim: neighborhood radius. Returns (N, P) float32 counts.
+    """
+    coords = np.asarray(coords, np.float32)
+    onehot_j = jnp.asarray(onehot, jnp.float32)
+    all_j = jnp.asarray(coords)
+    n = coords.shape[0]
+    out = np.empty((n, onehot_j.shape[1]), np.float32)
+    lim = jnp.float32(dist_lim)
+    for i in range(0, n, block_rows):
+        blk = all_j[i:i + block_rows]
+        out[i:i + blk.shape[0]] = np.asarray(_neighbor_count_block(
+            blk, all_j, onehot_j, lim, jnp.int32(i)))
+    return out

@@ -1,0 +1,150 @@
+"""Config-5 scale stress (BASELINE.json: 100-FOV pod-sharded cohort;
+VERDICT r2 next #10). Shapes are tiny so the suite stays fast, but the
+STRUCTURE is the stretch config's: 100 FOVs streamed through the 8-device
+mesh in batches, mid-cohort crash-resume, and a >50k-cell FOV through the
+blocked neighbor kernel with bounded peak memory (measured as the child
+process's ru_maxrss — the full distance matrix alone would be ~10 GB).
+
+Marked `scale`; deselect with `-m "not scale"`.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.scale
+
+FOVS_100 = [f"fov{i}" for i in range(100)]
+
+
+def test_100_fov_cohort_streams_through_mesh_in_batches():
+    """100 FOVs through the sharded pixel-cohort program in 10-FOV batches:
+    one compiled executable reused per batch (the program takes norms as
+    traced args), outputs accumulated per-FOV — never a 100-FOV block."""
+    import jax
+
+    from ark_tpu.parallel import cohort, mesh as mesh_utils
+
+    rng = np.random.default_rng(0)
+    mesh = mesh_utils.get_mesh()
+    assert mesh.devices.size == 8  # conftest's virtual mesh
+    c = 4
+    weights = rng.random((100, c)).astype(np.float32)
+    norms = np.full(c, 0.9, np.float32)
+    post = np.full(c, 0.8, np.float32)
+
+    per_fov_clusters = {}
+    for start in range(0, 100, 10):
+        batch_fovs = FOVS_100[start:start + 10]
+        imgs = rng.random((10, 16, 16, c)).astype(np.float32)
+        out = cohort.run_pixel_cohort(imgs, norms, 0.05, post, weights,
+                                      mesh=mesh)
+        for name, row in zip(batch_fovs, out["som_clusters"]):
+            per_fov_clusters[name] = row
+    assert len(per_fov_clusters) == 100
+    assert all(v.shape == (256,) for v in per_fov_clusters.values())
+    # the pipeline must have assigned real clusters, not all-filtered
+    assert max(int(v.max()) for v in per_fov_clusters.values()) > 0
+
+
+def test_100_fov_resume_mid_cohort(tmp_path):
+    """Kill-and-resume at FOV 40 of 100: the disk-state machinery must
+    redo exactly the unprocessed tail and commit losslessly."""
+    from ark_tpu.io import feather_utils as feather
+    from ark_tpu.phenotyping import (cluster_helpers, pixel_cluster_utils,
+                                     pixel_som_clustering)
+
+    rng = np.random.default_rng(1)
+    channels = ["c0", "c1", "c2"]
+    base = tmp_path
+    (base / "pixel_mat_subsetted").mkdir()
+    (base / "pixel_mat_data").mkdir()
+    for fov in FOVS_100:
+        df = pd.DataFrame(rng.random((20, 3)).astype(np.float32),
+                          columns=channels)
+        df["fov"] = fov
+        df["row_index"] = rng.integers(0, 16, 20)
+        df["column_index"] = rng.integers(0, 16, 20)
+        df["label"] = rng.integers(1, 5, 20)
+        feather.write_dataframe(df.sample(10, random_state=1),
+                                base / "pixel_mat_subsetted" / f"{fov}.feather")
+        feather.write_dataframe(df, base / "pixel_mat_data" / f"{fov}.feather")
+    feather.write_dataframe(pd.DataFrame([[0.9] * 3], columns=channels),
+                            base / "post_rowsum_chan_norm.feather")
+
+    pysom = pixel_som_clustering.train_pixel_som(FOVS_100, channels,
+                                                 str(base))
+    # simulate a run killed after 40 FOVs: their labeled output is in temp
+    data_path = str(base / "pixel_mat_data")
+    pixel_cluster_utils.claim_temp_dir(data_path, "pixel_som_cluster")
+    for fov in FOVS_100[:40]:
+        df = feather.read_dataframe(base / "pixel_mat_data" / f"{fov}.feather")
+        feather.write_dataframe(pysom.assign_som_clusters(df),
+                                base / "pixel_mat_data_temp" / f"{fov}.feather")
+
+    missing = pixel_cluster_utils.find_fovs_missing_col(
+        str(base), "pixel_mat_data", "pixel_som_cluster")
+    assert sorted(missing) == sorted(FOVS_100[40:])
+    pixel_som_clustering.cluster_pixels(FOVS_100, str(base), pysom,
+                                        data_dir="pixel_mat_data")
+    assert not os.path.exists(data_path + "_temp")
+    for fov in (FOVS_100[0], FOVS_100[39], FOVS_100[40], FOVS_100[99]):
+        df = feather.read_dataframe(base / "pixel_mat_data" / f"{fov}.feather")
+        assert "pixel_som_cluster" in df.columns
+        assert len(df) == 20
+
+
+_BIG_FOV_CHILD = textwrap.dedent("""
+    import resource
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from ark_tpu.ops import distances
+
+    n, p = 51_200, 6
+    rng = np.random.default_rng(0)
+    coords = rng.random((n, 2)).astype(np.float32) * 5000.0
+    pheno = rng.integers(0, p, n)
+    onehot = np.eye(p, dtype=np.float32)[pheno]
+    counts = distances.blocked_neighbor_counts(coords, onehot,
+                                               dist_lim=50.0,
+                                               block_rows=2048)
+    assert counts.shape == (n, p)
+    # oracle on a slice: brute-force float64 neighbor counts for the first
+    # 64 cells. The D=2 kernel computes |a-b|² directly (the a²+b²-2ab
+    # decomposition dropped close pairs at this coordinate scale — see
+    # pairwise_distances), so only pairs within f32 rounding of the 50.0
+    # threshold may differ
+    d = np.sqrt(((coords[:64, None, :].astype(np.float64)
+                  - coords[None, :, :].astype(np.float64)) ** 2).sum(-1))
+    want = ((d < 50.0) & (d > 0)).astype(np.float64) @ onehot.astype(np.float64)
+    slack = (np.abs(d - 50.0) < 1e-3).astype(np.float64) @ onehot.astype(np.float64)
+    err = np.abs(counts[:64] - want)
+    assert (err <= slack + 1e-3).all(), \
+        f"max err {err.max()} beyond borderline slack"
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(f"peak_rss_gb={peak_gb:.2f} mean_neighbors={counts.sum(1).mean():.2f}")
+    # the full 51.2k x 51.2k f32 matrix alone is 10.5 GB; blocked streaming
+    # must keep the whole process (incl. jax runtime) far under that
+    assert peak_gb < 3.0, f"peak RSS {peak_gb:.2f} GB - not streaming"
+""")
+
+
+def test_50k_cell_fov_blocked_neighbors_bounded_memory():
+    """>50k-cell FOV neighbor counts in a fresh subprocess so ru_maxrss is
+    a clean high-water mark for THIS workload."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run([sys.executable, "-c", _BIG_FOV_CHILD], env=env,
+                         cwd=repo, capture_output=True, text=True,
+                         timeout=420)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "peak_rss_gb=" in res.stdout
