@@ -425,7 +425,7 @@ def cohort_cluster_plot(fovs: List[str], seg_dir, save_dir,
                         label_col: str = settings.CELL_LABEL,
                         cluster_col: str = settings.CELL_TYPE,
                         seg_suffix: str = "_whole_cell.tiff",
-                        cmap="viridis", style: str = "default",
+                        cmap="viridis", style: str = "seaborn-v0_8-paper",
                         erode: bool = False, display_fig: bool = False,
                         fig_file_type: str = "png", figsize: tuple = (10, 10),
                         dpi: int = 300) -> None:
@@ -513,7 +513,7 @@ def color_segmentation_by_stat(fovs: List[str], data_table: pd.DataFrame,
                                cmap: str = "viridis", reverse: bool = False,
                                seg_suffix: str = "_whole_cell.tiff",
                                cbar_visible: bool = True,
-                               style: str = "default", erode: bool = False,
+                               style: str = "seaborn-v0_8-paper", erode: bool = False,
                                display_fig: bool = False,
                                fig_file_type: str = "png",
                                figsize: tuple = (10, 10), dpi: int = 300):
