@@ -1,7 +1,8 @@
 """Dimensionality-reduction visualization (reference
 `src/ark/analysis/dimensionality_reduction.py:10-120`). UMAP runs as the JAX
 implementation in ark_tpu.ops.umap (no umap-learn/numba); PCA runs on device;
-tSNE uses sklearn."""
+tSNE is the exact device implementation in ark_tpu.ops.tsne (the reference
+delegates to single-thread sklearn)."""
 
 from __future__ import annotations
 
@@ -59,7 +60,7 @@ def visualize_dimensionality_reduction(cell_data, columns, category,
                               save_file="PCAVisualization.png",
                               palette=color_map)
     elif algorithm == "tSNE":
-        from sklearn.manifold import TSNE
+        from ark_tpu.ops.tsne import TSNE
         tsne_results = TSNE().fit_transform(cell_data[columns].values)
         plot_dim_reduced_data(tsne_results[:, 0], tsne_results[:, 1],
                               fig_id=3, hue=cell_data[category],
