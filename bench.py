@@ -3,6 +3,11 @@
 Headline: Pixie SOM BMU-mapping throughput (Mpixels/s) — the reference's
 single hottest kernel (pyFlowSOM C `map_data_to_nodes` over 1M-row chunks,
 `cluster_helpers.py:118-163`), here the fused Pallas distance-matmul+argmin.
+The same line also carries the other three north-star metrics
+(BASELINE.json): `mesmer_fovs_per_s` (1024² FOVs through the PanopticNet
+forward), `permutations_per_s` (spatial-enrichment bootstrap), and
+`cohort_seconds` (full 10x1024²x16 pipeline), measured by
+benchmarks/cohort_benchmark.py in-process.
 
 vs_baseline = speedup over a multithreaded-BLAS numpy implementation of the
 same BMU search measured on this host's CPU (a *stronger* baseline than the
@@ -93,15 +98,41 @@ def _bench_cpu_numpy(n, c, k, chunk=1_000_000):
     return n / dt / 1e6
 
 
+def _bench_cohort():
+    """Fold the end-to-end cohort benchmark's north-star numbers
+    (BASELINE.json configs 2/4 + the 'minutes on one v5e' total) into the
+    driver-captured line: Mesmer forward FOV/s, enrichment permutations/s,
+    and the full 10x1024²x16 pipeline wall time."""
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.cohort_benchmark import main as cohort_main
+
+    res = cohort_main(emit=False, verbose=False)
+    stages = {s["stage"]: s for s in res["stages"]}
+    return {
+        "mesmer_fovs_per_s": round(stages["mesmer_forward"]["per_second"], 1),
+        "permutations_per_s": round(
+            stages["spatial_enrichment"]["per_second"], 1),
+        "cohort_seconds": res["total_seconds"],
+    }
+
+
 def main():
     N, C, K = 4_194_304, 16, 100
     tpu_mpix = _bench_tpu(N, C, K)
     cpu_mpix = _bench_cpu_numpy(1_048_576, C, K)
+    extra = {}
+    try:
+        extra = _bench_cohort()
+    except Exception as e:  # the headline metric must still be reported
+        extra = {"cohort_error": f"{type(e).__name__}: {e}"[:200]}
     print(json.dumps({
         "metric": "som_bmu_map_throughput",
         "value": round(tpu_mpix, 1),
         "unit": "Mpixels/s",
         "vs_baseline": round(tpu_mpix / cpu_mpix, 1),
+        **extra,
     }))
     print(f"[bench] cpu numpy baseline: {cpu_mpix:.1f} Mpix/s "
           f"(N={N}, C={C}, K={K})", file=sys.stderr)

@@ -25,7 +25,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 
-def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42):
+def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42,
+         emit=True, verbose=True):
+    """Run the cohort pipeline benchmark; returns the result dict.
+
+    `emit` prints it as JSON (the CLI behavior); bench.py calls with
+    emit=False, verbose=False to fold the numbers into its own single
+    JSON line."""
     import jax
     import jax.numpy as jnp
     from ark_tpu.ops import image_filters, segment_reduce, som as som_ops
@@ -34,7 +40,7 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42):
     from ark_tpu.utils.profiling import StageTimer
 
     rng = np.random.default_rng(seed)
-    timer = StageTimer(verbose=True)
+    timer = StageTimer(verbose=verbose)
     n_pix = n_fovs * size * size
 
     # ---- measure this attach's host->device bandwidth with one FOV
@@ -209,14 +215,17 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42):
         outs = jax.block_until_ready(spatial_all(cys, cxs, pos))
 
     total = timer.total_seconds
-    print(json.dumps({
+    result = {
         "benchmark": "cohort_pipeline",
         "n_fovs": n_fovs, "fov_size": size, "channels": channels,
         "total_seconds": round(total, 2),
         "mpix_per_s_end_to_end": round(n_pix / total / 1e6, 1),
         "host_to_device_GBps_this_attach": round(h2d_gbps, 2),
         "stages": timer.report(),
-    }))
+    }
+    if emit:
+        print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":

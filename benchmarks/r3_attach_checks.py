@@ -1,0 +1,111 @@
+"""Round-3 on-attach measurements: device EDT A/B vs scipy, and the
+double-buffered `segment_fovs` vs a serial forward→postprocess loop.
+
+Protocol per CLAUDE.md: warm first (compiles excluded), best-of-3, same
+process for every A/B pair.
+
+Usage: python benchmarks/r3_attach_checks.py [--size 1024]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def best_of(n, fn):
+    out = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        out = min(out, time.perf_counter() - t0)
+    return out
+
+
+def bench_edt(size):
+    import jax
+    import jax.numpy as jnp
+    import scipy.ndimage as ndi
+
+    from ark_tpu.ops import edt
+
+    rng = np.random.default_rng(0)
+    img_host = ndi.gaussian_filter(rng.random((size, size)), 8) > 0.55
+    img = jnp.asarray(img_host)
+    jax.block_until_ready(edt.distance_transform_edt(img))  # warm/compile
+    # anti-replay: flip one pixel per trial (host-side, outside the window)
+    variants = []
+    for t in range(3):
+        v = np.array(img_host)
+        v[t, t] = ~v[t, t]
+        variants.append(jax.block_until_ready(jnp.asarray(v)))
+    dev_s = float("inf")
+    for v in variants:
+        t0 = time.perf_counter()
+        jax.block_until_ready(edt.distance_transform_edt(v))
+        dev_s = min(dev_s, time.perf_counter() - t0)
+    host_s = best_of(3, lambda: ndi.distance_transform_edt(img_host))
+    # device result must match scipy here too (sanity on real hardware)
+    got = np.asarray(edt.distance_transform_edt(img))
+    want = ndi.distance_transform_edt(img_host)
+    err = float(np.abs(got - want).max())
+    return {"edt_device_s": round(dev_s, 4), "edt_scipy_host_s":
+            round(host_s, 4), "edt_max_err": err,
+            "edt_speedup": round(host_s / dev_s, 2)}
+
+
+def bench_segment_fovs(n_fovs=8, size=512):
+    import jax
+
+    from ark_tpu.segmentation import mesmer
+
+    rng = np.random.default_rng(0)
+    fovs = rng.random((n_fovs, size, size, 2)).astype(np.float32)
+    app = mesmer.Mesmer()
+
+    def serial():
+        # forward(i) -> postprocess(i) -> forward(i+1): the r2 behavior
+        for i in range(0, n_fovs, 4):
+            import jax.numpy as jnp
+            dev = app._segment_device(app.variables,
+                                      jnp.asarray(fovs[i:i + 4]),
+                                      jnp.float32(0.1))
+            jax.block_until_ready(dev["whole_cell"]["inner"])
+            app._postprocess_device_out(dev, 0.3, 15)
+
+    def pipelined():
+        import jax.numpy as jnp
+        pending = None
+        for i in range(0, n_fovs, 4):
+            dev = app._segment_device(app.variables,
+                                      jnp.asarray(fovs[i:i + 4]),
+                                      jnp.float32(0.1))
+            if pending is not None:
+                app._postprocess_device_out(pending, 0.3, 15)
+            pending = dev
+        app._postprocess_device_out(pending, 0.3, 15)
+
+    serial()      # warm: compiles + watershed allocator
+    pipelined()
+    serial_s = best_of(2, serial)
+    piped_s = best_of(2, pipelined)
+    return {"segment_serial_s": round(serial_s, 3),
+            "segment_pipelined_s": round(piped_s, 3),
+            "segment_overlap_gain": round(serial_s / piped_s, 3),
+            "n_fovs": n_fovs, "fov": size}
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=1024)
+    a = p.parse_args()
+    out = {}
+    out.update(bench_edt(a.size))
+    out.update(bench_segment_fovs())
+    print(json.dumps(out))
