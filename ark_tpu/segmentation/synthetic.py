@@ -24,9 +24,18 @@ from ark_tpu.ops import edt as edt_ops
 def synthetic_cells(rng: np.random.Generator, n_images: int, hw: int = 64,
                     n_cells: Tuple[int, int] = (4, 9),
                     radius: Tuple[float, float] = (6.0, 11.0),
-                    noise: float = 0.05
+                    noise: float = 0.05, crowding: float = 0.0
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Plant non-overlapping elliptical cells with concentric nuclei.
+    """Plant elliptical cells with concentric nuclei.
+
+    `crowding=0` places non-overlapping cells (r1/r2 behavior). With
+    `crowding` in (0, 1], cell centers may sit closer than the sum of
+    radii by that fraction — neighboring ellipses TOUCH and contested
+    pixels go to the cell whose normalized elliptical radius is smallest
+    (the real-tissue regime VERDICT r2 flagged as untested: instance
+    separation of touching cells is exactly what deep-watershed exists
+    for). Membrane rings of touching cells merge into shared borders, as
+    in tissue.
 
     Returns (images (N, H, W, 2) float32 [nuclear, membrane channels],
     cell_labels (N, H, W) int32, nuc_labels (N, H, W) int32).
@@ -47,27 +56,43 @@ def synthetic_cells(rng: np.random.Generator, n_images: int, hw: int = 64,
             cy = rng.uniform(ry + 1, hw - ry - 1)
             cx = rng.uniform(rx + 1, hw - rx - 1)
             rmax = max(ry, rx)
-            if any((cy - p[0]) ** 2 + (cx - p[1]) ** 2
-                   < (rmax + max(p[2], p[3]) + 1.0) ** 2 for p in placed):
+            # crowding shrinks the exclusion zone below touching distance;
+            # the 0.55 floor keeps nuclei (0.45 r) disjoint — overlapping
+            # nuclei would make the instance problem ill-posed
+            too_close = False
+            for p in placed:
+                sep = (rmax + max(p[2], p[3]) + 1.0) * (1.0 - crowding)
+                sep = max(sep, 0.55 * (rmax + max(p[2], p[3])))
+                if (cy - p[0]) ** 2 + (cx - p[1]) ** 2 < sep ** 2:
+                    too_close = True
+                    break
+            if too_close:
                 continue
             placed.append((cy, cx, ry, rx, rng.uniform(0, np.pi)))
 
-        for lab, (cy, cx, ry, rx, th) in enumerate(placed, start=1):
+        # normalized elliptical radius per planted cell; contested pixels
+        # belong to the nearest boundary (min normalized radius)
+        r_all = np.full((len(placed), hw, hw), np.inf, np.float32)
+        for j, (cy, cx, ry, rx, th) in enumerate(placed):
             ct, st = np.cos(th), np.sin(th)
             u = (yy - cy) * ct + (xx - cx) * st
             v = -(yy - cy) * st + (xx - cx) * ct
-            # normalized elliptical radius: 1.0 at the cell boundary
-            r = np.sqrt((u / ry) ** 2 + (v / rx) ** 2)
-            cell = r <= 1.0
-            nuc = r <= 0.45
-            cell_labels[i][cell] = lab
-            nuc_labels[i][nuc] = lab
-            # nuclear channel: bright gaussian-falloff blob over the nucleus
-            images[i, :, :, 0] += np.where(r <= 0.6,
-                                           np.exp(-(r / 0.35) ** 2), 0.0)
-            # membrane channel: ring at the cell boundary
-            ring = np.exp(-((r - 1.0) / 0.12) ** 2) * cell
-            images[i, :, :, 1] += ring
+            r_all[j] = np.sqrt((u / ry) ** 2 + (v / rx) ** 2)
+        if placed:
+            owner = np.argmin(r_all, axis=0)
+            r_own = np.min(r_all, axis=0)
+            cell_labels[i] = np.where(r_own <= 1.0, owner + 1, 0)
+            nuc_labels[i] = np.where(r_own <= 0.45, owner + 1, 0)
+            for j in range(len(placed)):
+                r = r_all[j]
+                # nuclear channel: bright gaussian-falloff blob (own px only)
+                images[i, :, :, 0] += np.where(
+                    (r <= 0.6) & (owner == j), np.exp(-(r / 0.35) ** 2), 0.0)
+                # membrane channel: ring at the cell's boundary, clipped to
+                # its own territory so touching cells share one border wall
+                ring = np.exp(-((r - 1.0) / 0.12) ** 2)
+                images[i, :, :, 1] += np.where(
+                    (owner == j) & (r <= 1.0), ring, 0.0)
 
         images[i] += rng.normal(0, noise, size=(hw, hw, 2)).astype(np.float32)
     return np.clip(images, 0, None), cell_labels, nuc_labels
@@ -92,10 +117,17 @@ def targets_from_labels(labels: np.ndarray) -> Dict[str, np.ndarray]:
         lab = labels[i]
         fg = lab > 0
         if fg.any():
-            # EDT within the union; cells are planted non-touching so the
-            # per-cell transform equals the union transform restricted to it
-            edt = np.asarray(edt_ops.distance_transform_edt(fg),
-                             np.float32)
+            # per-cell EDT (deepcell transform_masks 'inner-distance'):
+            # distance to the nearest pixel NOT of this label, so touching
+            # cells each get their own peak — the union EDT would bleed
+            # across shared borders and erase the valley between instances
+            edt = np.zeros(lab.shape, np.float32)
+            for lv in np.unique(lab):
+                if lv == 0:
+                    continue
+                m = lab == lv
+                d = np.asarray(edt_ops.distance_transform_edt(m), np.float32)
+                edt[m] = d[m]
             maxima = ndi.maximum(edt, labels=lab,
                                  index=np.arange(1, lab.max() + 1))
             per_cell_max = np.concatenate([[1.0], np.maximum(maxima, 1e-6)])

