@@ -17,7 +17,8 @@ Algorithm (van der Maaten & Hinton 2008, matching sklearn semantics):
     of the schedule,
   - Student-t low-dimensional kernel, gradient descent with momentum
     (0.5 → 0.8) and sklearn-style per-parameter gains,
-  - learning_rate="auto" = max(N / 12, 50) (sklearn ≥1.1 default).
+  - learning_rate="auto" = max(N / early_exaggeration / 4, 50) = max(N/48,
+    50), sklearn ≥1.1's default.
 
 Deterministic per seed (PCA-free random init, jax.random).
 """
@@ -128,7 +129,7 @@ def tsne(x, n_components: int = 2, perplexity: float = 30.0,
         raise ValueError("t-SNE needs at least 4 points")
     perplexity = float(min(perplexity, (n - 1) / 3.0))
     if learning_rate == "auto":
-        learning_rate = max(n / 12.0, 50.0)
+        learning_rate = max(n / 12.0 / 4.0, 50.0)
     d2 = _squared_dists(x)
     p_cond = _conditional_affinities(d2, perplexity)
     p_sym = (p_cond + p_cond.T) / (2.0 * n)

@@ -143,8 +143,11 @@ def test_50k_cell_fov_blocked_neighbors_bounded_memory():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # 900 s: the child does ~16 s of work alone, but on this 1-core host a
+    # kernel lingering from the executed-notebook suite can time-slice it
     res = subprocess.run([sys.executable, "-c", _BIG_FOV_CHILD], env=env,
                          cwd=repo, capture_output=True, text=True,
-                         timeout=420)
-    assert res.returncode == 0, res.stderr[-2000:]
-    assert "peak_rss_gb=" in res.stdout
+                         timeout=900)
+    assert res.returncode == 0, \
+        f"stdout: {res.stdout[-500:]}\nstderr: {res.stderr[-2000:]}"
+    assert "peak_rss_gb=" in res.stdout, res.stdout[-500:]
