@@ -33,6 +33,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# benchmarking/debug switch (benchmarks/head_fold_ab.py A/Bs it
+# in-process): True reproduces the old behavior of upcasting every
+# pyramid/head resize to float32. XLA lowers bilinear resize to dense
+# interpolation-matrix matmuls; in f32 those run at 1/8 MXU rate, and the
+# result is immediately rounded back to bf16 anyway — resizing in the
+# model dtype keeps the matmuls on the fast path (the 2× weights 0.25/0.75
+# are exact in bf16 and the MXU accumulates in f32). An elementwise
+# shifted-lerp formulation was tried and LOST 1.7× to the matmul lowering
+# (interleave relayouts; same lesson as the BMU argmin — see
+# benchmarks/head_fold_ab.py history and PERF.md).
+RESIZE_IN_F32 = False
+
+
+def _bilinear_resize(x: jax.Array, th: int, tw: int,
+                     dtype=None) -> jax.Array:
+    """Bilinear resize of NHWC `x` to (th, tw) via `jax.image.resize`, in
+    the model dtype (f32 when RESIZE_IN_F32 — see note above)."""
+    out_dtype = dtype if dtype is not None else x.dtype
+    if RESIZE_IN_F32:
+        x = x.astype(jnp.float32)
+    b, h, w, c = x.shape
+    if (h, w) != (th, tw):
+        x = jax.image.resize(x, (b, th, tw, c), "bilinear")
+    return x.astype(out_dtype)
+
+
 class BottleneckBlock(nn.Module):
     features: int
     strides: Tuple[int, int] = (1, 1)
@@ -114,9 +140,8 @@ class FPN(nn.Module):
         tops = [laterals[-1]]
         for lat in laterals[-2::-1]:
             b, h, w, c = lat.shape
-            tops.append(lat + jax.image.resize(
-                tops[-1].astype(jnp.float32), (b, h, w, c),
-                "bilinear").astype(self.dtype))
+            tops.append(lat + _bilinear_resize(tops[-1], h, w,
+                                               dtype=self.dtype))
         tops = tops[::-1]
         pyr = [nn.Conv(self.channels, (3, 3), padding="SAME",
                        dtype=self.dtype, name=f"P{l}")(t)
@@ -134,7 +159,14 @@ class SemanticHead(nn.Module):
     bilinear upsample back to input resolution (`semantic_upsample`,
     conv_{i}_semantic_upsample_{id}), then a channel-dense (TensorProduct)
     to `dense_features` + BatchNorm + relu, then a channel-dense to
-    n_classes. Module/leaf names are the converter's targets."""
+    n_classes. Module/leaf names are the converter's targets.
+
+    Perf note: applying dense_0+bn_0 below the final upsample (an exact
+    reordering — both are per-pixel affine maps and bilinear weights sum
+    to 1) was measured SLOWER on TPU: the resize is the dominant cost of
+    this head at large sizes and the fold doubles its channel count
+    (benchmarks/head_fold_ab.py: 11.7→13.5 ms at 1024²/b2). The published
+    order is kept; the resize runs in the model dtype instead (1.47×)."""
     n_classes: int
     upsample_filters: int = 64
     dense_features: int = 128
@@ -150,8 +182,7 @@ class SemanticHead(nn.Module):
             b, h, w, c = x.shape
             # the last step is an UpsampleLike straight to the input size
             th, tw = (out_hw if i == 2 else (h * 2, w * 2))
-            x = jax.image.resize(x.astype(jnp.float32), (b, th, tw, c),
-                                 "bilinear").astype(self.dtype)
+            x = _bilinear_resize(x, th, tw, dtype=self.dtype)
         x = nn.Dense(self.dense_features, dtype=self.dtype, name="dense_0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-3, dtype=self.dtype, name="bn_0")(x)
