@@ -258,8 +258,10 @@ def convert_file(h5_path: str, npz_path: str) -> None:
 
     _, variables = unet.init_mesmer(dtype=np.float32)
     converted = convert(read_keras_h5(h5_path), variables)
-    unet.save_params_npz(npz_path, converted,
-                         config={"dtype": "float32"})
+    # no dtype in the config: params are stored f32, but inference should
+    # run at Mesmer's bf16 default (embedding 'float32' here would silently
+    # pin every converted-checkpoint forward to 1/8 MXU rate)
+    unet.save_params_npz(npz_path, converted, config=None)
 
 
 if __name__ == "__main__":

@@ -11,30 +11,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("zero_diagonal",))
-def pairwise_distances(a: jax.Array, b: jax.Array,
-                       zero_diagonal: bool = False) -> jax.Array:
-    """Euclidean distances between rows of a (N,D) and b (M,D); (N, M).
+def squared_distances(a: jax.Array, b: jax.Array,
+                      zero_diagonal: bool = False) -> jax.Array:
+    """(N, M) squared euclidean distances between rows of a and b —
+    traceable (callable inside jit); the ONE implementation of the
+    close-pair numerics policy, shared by `pairwise_distances` and the
+    t-SNE kernels (`ops/tsne.py`).
 
-    D ≤ 4 (centroid space) computes |a−b|² DIRECTLY: the ||a||²−2ab+||b||²
-    decomposition cancels catastrophically for close pairs at large
-    coordinate magnitudes (f32 eps at ‖a‖² ~ 5e7 is ±4 in d², so two cells
-    1.5 px apart at the far corner of a 5000-px stage computed d = 0 and
-    were dropped by downstream `dist > 0` self-exclusion masks — caught by
-    the config-5 oracle), and a K=2 contraction gains nothing from the MXU.
-    Larger D (feature-space distances) keeps the decomposition (MXU matmul,
-    relative cancellation there is benign), floored at 0.
+    D ≤ 4 (centroid/embedding space) computes |a−b|² DIRECTLY: the
+    ||a||²−2ab+||b||² decomposition cancels catastrophically for close
+    pairs at large coordinate magnitudes (f32 eps at ‖a‖² ~ 5e7 is ±4 in
+    d², so two cells 1.5 px apart at the far corner of a 5000-px stage
+    computed d = 0 and were dropped by downstream `dist > 0`
+    self-exclusion masks — caught by the config-5 oracle), and a K=2
+    contraction gains nothing from the MXU. The per-axis terms are
+    unrolled (N, M) buffers rather than one (N, M, D) broadcast tensor:
+    XLA fuses the adds, peak memory stays one (N, M) buffer. Larger D
+    (feature space) keeps the decomposition (MXU matmul at HIGHEST
+    precision — TPU's default bf16 matmul would round the coordinates
+    ~0.4% relative while the CPU suite validates true-f32 numerics),
+    floored at 0.
 
-    Pass `zero_diagonal=True` for self-distance matrices (a vs a): float
-    accumulation makes d_ii a small POSITIVE value (not exactly 0), which
-    would let `dist > 0` self-exclusion masks count a cell as its own
-    nearest neighbor — the diagonal is forced to exact 0.
-    """
+    `zero_diagonal=True` forces d²_ii to exact 0 (float accumulation
+    leaves small positive values that break `dist > 0` self-exclusion)."""
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     if a.shape[1] <= 4:
-        # unrolled per-axis (N, M) terms rather than one (N, M, D) broadcast
-        # tensor: XLA fuses the adds, peak memory stays one (N, M) buffer
         d2 = None
         for k in range(a.shape[1]):
             diff = a[:, k][:, None] - b[:, k][None, :]
@@ -43,16 +45,24 @@ def pairwise_distances(a: jax.Array, b: jax.Array,
     else:
         a2 = jnp.sum(a * a, axis=1)[:, None]
         b2 = jnp.sum(b * b, axis=1)[None, :]
-        # HIGHEST: TPU's default bf16 matmul would round the coordinates
-        # (~0.4% relative) while the CPU suite validates true-f32 numerics
         d2 = a2 + b2 - 2.0 * jnp.dot(a, b.T,
                                      precision=jax.lax.Precision.HIGHEST)
-    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        d2 = jnp.maximum(d2, 0.0)
     if zero_diagonal:
-        n, m = d.shape
+        n, m = d2.shape
         eye = jnp.arange(n)[:, None] == jnp.arange(m)[None, :]
-        d = jnp.where(eye, 0.0, d)
-    return d
+        d2 = jnp.where(eye, 0.0, d2)
+    return d2
+
+
+@functools.partial(jax.jit, static_argnames=("zero_diagonal",))
+def pairwise_distances(a: jax.Array, b: jax.Array,
+                       zero_diagonal: bool = False) -> jax.Array:
+    """Euclidean distances between rows of a (N,D) and b (M,D); (N, M).
+
+    See `squared_distances` for the D ≤ 4 direct-difference policy and the
+    exact-zero-diagonal rationale."""
+    return jnp.sqrt(squared_distances(a, b, zero_diagonal=zero_diagonal))
 
 
 def cdist(a, b=None, block_rows: int = 8192) -> np.ndarray:

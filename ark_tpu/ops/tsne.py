@@ -33,21 +33,12 @@ import numpy as np
 
 
 def _squared_dists(x: jax.Array) -> jax.Array:
-    """(N, N) squared euclidean distances, exact-zero diagonal."""
-    n, d = x.shape
-    if d <= 4:
-        d2 = None
-        for k in range(d):
-            diff = x[:, k][:, None] - x[:, k][None, :]
-            term = diff * diff
-            d2 = term if d2 is None else d2 + term
-    else:
-        sq = jnp.sum(x * x, axis=1)
-        d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
-            x, x.T, precision=jax.lax.Precision.HIGHEST)
-        d2 = jnp.maximum(d2, 0.0)
-    eye = jnp.eye(x.shape[0], dtype=bool)
-    return jnp.where(eye, 0.0, d2)
+    """(N, N) squared euclidean distances, exact-zero diagonal — the shared
+    `ops/distances.squared_distances` kernel (one source of truth for the
+    D ≤ 4 close-pair cancellation policy)."""
+    from ark_tpu.ops.distances import squared_distances
+
+    return squared_distances(x, x, zero_diagonal=True)
 
 
 @functools.partial(jax.jit, static_argnames=("perplexity",))

@@ -71,10 +71,23 @@ def _fiber_steps(fiber_channel_data, fov_len, blur, contrast_scaling_divisor,
         kernel_size=fov_len / contrast_scaling_divisor)
     ridges = classical.frangi(contrast_adjusted, sigmas=fiber_widths,
                               black_ridges=False) * 10000
+    edt = np.asarray(edt_ops.distance_transform_edt(
+        jnp.asarray(ridges) > ridge_cutoff))
+    if not np.isfinite(edt).all():
+        # the whole FOV is above ridge_cutoff: distance-to-background is
+        # undefined (ops/edt returns +inf; scipy's answer there is a
+        # phantom-corner artifact). There are no fiber/background boundaries
+        # to segment — warn and return an empty result instead of letting
+        # inf thresholds silently zero everything downstream
+        import warnings
+        warnings.warn(
+            "fiber ridge mask covers the entire FOV (every frangi response "
+            f"exceeds ridge_cutoff={ridge_cutoff}); no fiber boundaries "
+            "exist at this cutoff — returning an empty segmentation. "
+            "Raise ridge_cutoff for this FOV.")
+        edt = np.zeros_like(edt)
     distance_transformed = np.asarray(image_filters.gaussian_blur(
-        edt_ops.distance_transform_edt(
-            jnp.asarray(ridges) > ridge_cutoff).astype(jnp.float32),
-        sigma=1))
+        jnp.asarray(edt, jnp.float32), sigma=1))
     thresholds = classical.multi_otsu(distance_transformed, classes=3)
     threshed = np.zeros_like(distance_transformed)
     threshed[distance_transformed < thresholds[0]] = 1

@@ -100,7 +100,7 @@ class Mesmer:
     """Whole-cell + nuclear segmentation from (nuclear, membrane) images."""
 
     def __init__(self, weights_path: Optional[str] = None, seed: int = 0,
-                 dtype=jnp.bfloat16, model=None, variables=None):
+                 dtype=None, model=None, variables=None):
         """Sources of weights, in precedence order: an injected
         (model, variables) pair (e.g. from `train.train_on_synthetic` or a
         sharded trainer), an `.npz` checkpoint (converted published weights
@@ -108,7 +108,13 @@ class Mesmer:
         the in-repo synthetic-trained `models/checkpoints/*.npz`), else
         random init (architecture/throughput demos only). Checkpoints carry
         their architecture config ('__config__'), so `weights_path` alone
-        reconstructs the right PanopticNet variant."""
+        reconstructs the right PanopticNet variant.
+
+        `dtype=None` means: the checkpoint config's dtype if it records one
+        (the mini synthetic checkpoints train and validate in f32), else
+        bfloat16 (the TPU fast path). An explicit dtype always wins — a
+        checkpoint must not silently downgrade a requested bf16 forward to
+        f32 (1/8 MXU rate)."""
         if model is not None:
             if weights_path is None and variables is None:
                 raise ValueError(
@@ -122,14 +128,15 @@ class Mesmer:
                 weights_path, return_config=True)
             config = dict(config or {})
             cfg_dtype = config.pop("dtype", None)
-            if cfg_dtype is not None:
-                dtype = jnp.dtype(cfg_dtype).type
+            if dtype is None:
+                dtype = jnp.dtype(cfg_dtype).type if cfg_dtype is not None \
+                    else jnp.bfloat16
             self.model = unet.PanopticNet(
                 dtype=dtype, **{k: tuple(v) if isinstance(v, list) else v
                                 for k, v in config.items()})
         else:
-            self.model, self.variables = unet.init_mesmer(seed=seed,
-                                                          dtype=dtype)
+            self.model, self.variables = unet.init_mesmer(
+                seed=seed, dtype=jnp.bfloat16 if dtype is None else dtype)
         self._forward = jax.jit(
             lambda v, x: self.model.apply(v, x, train=False))
 

@@ -64,7 +64,8 @@ def dense(n_in, n_out):
     return {"kernel": [n_in, n_out], "bias": [n_out]}
 
 
-def main():
+def main(out_path=None):
+    """Write the manifest; `out_path=None` targets the committed fixture."""
     layers = {}
 
     # input fixer: concat(input, Location2D) -> TensorProduct(3)
@@ -123,8 +124,9 @@ def main():
                    "num_semantic_classes=[1, 3, 1, 3]"),
         "layers": layers,
     }
-    out = os.path.join(os.path.dirname(__file__), "..", "tests", "models",
-                       "deepcell_layer_manifest.json")
+    out = out_path if out_path is not None else os.path.join(
+        os.path.dirname(__file__), "..", "tests", "models",
+        "deepcell_layer_manifest.json")
     with open(out, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     n_weights = sum(len(w) for w in layers.values())

@@ -179,15 +179,18 @@ def test_convert_flags_leftover_layers(rng, full_variables):
         cd.convert(layers, full_variables)
 
 
-def test_manifest_regenerates_identically():
-    """The committed fixture must match its generator (provenance intact)."""
+def test_manifest_regenerates_identically(tmp_path):
+    """The committed fixture must match its generator (provenance intact).
+
+    The generator writes to a TMP path — regenerating the committed fixture
+    in place would let a generator/manifest drift fail once, rewrite the
+    pin, and self-heal on the retry."""
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "make_manifest", os.path.join(os.path.dirname(__file__), "..", "..",
                                       "scripts", "make_deepcell_manifest.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    before = open(MANIFEST).read()
-    mod.main()
-    after = open(MANIFEST).read()
-    assert before == after
+    regen = tmp_path / "manifest.json"
+    mod.main(out_path=str(regen))
+    assert open(MANIFEST).read() == regen.read_text()

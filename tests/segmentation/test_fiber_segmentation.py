@@ -96,6 +96,20 @@ def test_segment_fibers_end_to_end(rng, tmp_path):
     assert len(tile_stats) == 2 * 4  # 128/64 = 2x2 tiles per fov
 
 
+def test_all_foreground_ridge_mask_warns_and_returns_empty(rng):
+    """A FOV whose frangi response exceeds ridge_cutoff everywhere has no
+    fiber/background boundaries: the step chain must warn and return an
+    empty segmentation, not propagate inf thresholds silently."""
+    img = rng.random((64, 64)).astype(np.float32) + 1.0
+    with pytest.warns(UserWarning, match="covers the entire FOV"):
+        steps = fiber_segmentation._fiber_steps(
+            img, 64, blur=2, contrast_scaling_divisor=128,
+            fiber_widths=range(1, 10, 2), ridge_cutoff=-1.0, sobel_blur=1,
+            min_fiber_size=15)
+    assert np.isfinite(steps["distance_transformed"]).all()
+    assert (steps["labeled_filtered"] == 0).all()
+
+
 def test_plot_fiber_segmentation_steps(rng, tmp_path):
     import matplotlib
     matplotlib.use("Agg")

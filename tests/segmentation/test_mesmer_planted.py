@@ -32,6 +32,17 @@ def test_checkpoint_config_roundtrip(trained_app):
     assert trained_app.model.inner_activation == "linear"
 
 
+def test_checkpoint_dtype_precedence():
+    """Explicit dtype beats the checkpoint config (a checkpoint must not
+    silently downgrade a requested bf16 forward to f32 — 1/8 MXU rate);
+    with dtype=None the checkpoint's recorded f32 applies."""
+    import jax.numpy as jnp
+
+    assert mesmer.Mesmer(weights_path=CKPT).model.dtype == jnp.float32
+    app = mesmer.Mesmer(weights_path=CKPT, dtype=jnp.bfloat16)
+    assert app.model.dtype == jnp.bfloat16
+
+
 def test_mesmer_recovers_planted_instances(trained_app):
     """Held-out synthetic FOVs (seed != training seed): predicted instance
     masks must match planted truth — per-compartment recall and IoU."""
