@@ -119,6 +119,22 @@ def _bench_cohort():
 
 
 def main():
+    import os
+
+    import jax
+
+    # Persistent compilation cache (verified working on the axon attach:
+    # a fresh process re-runs a cached program in 0.02 s vs a 1 s remote
+    # compile). The cohort pipeline's large programs cost 30 s-10 min each
+    # to compile remotely, putting a cold bench at ~14 min wall; with the
+    # repo-local cache pre-warmed, a fresh-process bench is compile-free
+    # (cache keys include platform + compile options, so CPU/TPU runs
+    # don't collide). Keeps the CLAUDE.md <5 min bench budget honest.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".xla_cache"))
+
     N, C, K = 4_194_304, 16, 100
     tpu_mpix = _bench_tpu(N, C, K)
     cpu_mpix = _bench_cpu_numpy(1_048_576, C, K)
