@@ -13,4 +13,38 @@ Design stance (see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
-from ark_tpu import settings  # noqa: F401
+import os as _os
+
+
+def _default_compile_cache():
+    """Enable JAX's persistent compilation cache unless configured away.
+
+    Pipeline programs (Mesmer forward, fused pixel pipeline, SOM scans)
+    cost 30 s-10 min each to compile on remote-compile TPU attaches; with
+    the cache, a fresh-process cohort run drops from minutes of compiles
+    to seconds (measured: the pixel-clustering template end-to-end on a
+    TPU attach went 222 s -> 7.7 s). Precedence: an explicit
+    JAX_COMPILATION_CACHE_DIR (jax's own env var) or a prior
+    jax.config.update always wins; ARK_TPU_XLA_CACHE=0 disables, any
+    other value overrides the default path (~/.cache/ark_tpu/xla_cache).
+    Cache keys include platform + compile options, so CPU/TPU runs never
+    collide."""
+    knob = _os.environ.get("ARK_TPU_XLA_CACHE")
+    if knob == "0" or _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:  # configured by the app
+        return
+    path = knob or _os.path.join(
+        _os.path.expanduser("~"), ".cache", "ark_tpu", "xla_cache")
+    try:
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+    except OSError:  # read-only home etc. — cache is best-effort
+        pass
+
+
+_default_compile_cache()
+
+from ark_tpu import settings  # noqa: F401,E402
