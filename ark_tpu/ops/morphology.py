@@ -75,21 +75,17 @@ def remove_small_objects(labels: np.ndarray, min_size: int = 5) -> np.ndarray:
 
 
 def remove_small_holes(mask: np.ndarray, area_threshold: int = 64) -> np.ndarray:
-    """Fill background components of area <= area_threshold (host, scipy
-    labeling). skimage semantics: the op is remove_small_objects on the
-    COMPLEMENT — border-touching holes fill like any other, and the
-    threshold is inclusive (a previous border exclusion + strict < made
-    ez_seg masks at FOV edges differ in area from the reference)."""
-    import scipy.ndimage as ndi
+    """Fill background components of area <= area_threshold (device CC
+    labeling, `ops/cc.py`; numpy in/out). skimage semantics: the op is
+    remove_small_objects on the COMPLEMENT — border-touching holes fill
+    like any other, and the threshold is inclusive (a previous border
+    exclusion + strict < made ez_seg masks at FOV edges differ in area
+    from the reference). The test oracle is an independent in-test scipy
+    labeling (tests/ops/test_cc.py), not this function."""
+    from ark_tpu.ops import cc
     mask = np.asarray(mask).astype(bool)
-    bg_labels, n = ndi.label(~mask)
-    if n == 0:
-        return mask
-    counts = np.bincount(bg_labels.reshape(-1))
-    fill = np.zeros(n + 1, bool)
-    fill[1:] = counts[1:] <= area_threshold
-    fill[0] = False
-    return mask | fill[bg_labels]
+    return np.asarray(cc.remove_small_holes(jnp.asarray(mask),
+                                            area_threshold=area_threshold))
 
 
 def erode_mask(mask: np.ndarray, connectivity: int = 2) -> np.ndarray:

@@ -6,7 +6,7 @@ Capability parity with reference
 percentile or local-adaptive threshold (block size from μm/pixel) →
 remove-small-holes → optional Meijering ridge filter → connected-component
 labeling → area filtering. Blur/ridge/threshold ops run on device
-(ark_tpu.ops.classical)."""
+(ark_tpu.ops.classical); labeling is the device CC kernel (ops/cc.py)."""
 
 from __future__ import annotations
 
@@ -19,7 +19,7 @@ import numpy as np
 from ark_tpu.io import io_utils, load_utils
 from ark_tpu.io.image_utils import save_image
 from ark_tpu.io.misc_utils import verify_in_list
-from ark_tpu.ops import classical, image_filters, morphology
+from ark_tpu.ops import cc, classical, image_filters, morphology
 from ark_tpu.segmentation.ez_seg.ez_seg_utils import log_creator
 
 
@@ -62,8 +62,6 @@ def _create_object_mask(input_image, object_shape_type="blob", sigma: int = 1,
                         min_object_area: int = 10,
                         max_object_area: int = 100000) -> np.ndarray:
     """Object mask for one image (see module docstring for the step chain)."""
-    import scipy.ndimage as ndi
-
     verify_in_list(object_shape_type=[object_shape_type],
                    object_shape_options=["blob", "projection"])
     img2mask = np.asarray(input_image, np.float32)
@@ -116,7 +114,7 @@ def _create_object_mask(input_image, object_shape_type="blob", sigma: int = 1,
         img2mask_filtered = img2mask_rm_holes
 
     binary = np.asarray(img2mask_filtered) > 0
-    labeled, n = ndi.label(binary, structure=np.ones((3, 3)))  # 8-connected
+    labeled, n = cc.label_np(binary, connectivity=2)  # 8-connected, device
 
     # area filter via LUT (reference uses skimage map_array)
     counts = np.bincount(labeled.reshape(-1))

@@ -9,7 +9,8 @@ generate_summary_stats :499-573).
 Pipeline per FOV (reference steps :324-356): Gaussian blur → CLAHE → Frangi
 ridge filter → EDT of thresholded ridges → multi-Otsu 3-class markers →
 Sobel elevation → watershed → small-object removal. Blur/CLAHE/Frangi/EDT/
-Sobel run on device (ark_tpu.ops, exact EDT in `ops/edt.py`); the watershed
+Sobel and the post-watershed connected-component labeling run on device
+(ark_tpu.ops, exact EDT in `ops/edt.py`, CC in `ops/cc.py`); the watershed
 flood is the native C++ kernel."""
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ from ark_tpu import settings
 from ark_tpu.io import io_utils, load_utils
 from ark_tpu.io.image_utils import read_image, save_image
 from ark_tpu.io.misc_utils import verify_in_list
+from ark_tpu.ops import cc
 from ark_tpu.ops import classical, distances as dist_ops, edt as edt_ops
 from ark_tpu.ops import image_filters
 from ark_tpu.ops import morphology, segment_reduce
@@ -62,8 +64,6 @@ def _fiber_regionprops_table(labeled: np.ndarray, properties) -> pd.DataFrame:
 def _fiber_steps(fiber_channel_data, fov_len, blur, contrast_scaling_divisor,
                  fiber_widths, ridge_cutoff, sobel_blur, min_fiber_size):
     """Run the step chain; returns dict of intermediates + final labels."""
-    import scipy.ndimage as ndi
-
     blurred = np.asarray(image_filters.gaussian_blur(
         jnp.asarray(fiber_channel_data, jnp.float32), sigma=blur))
     contrast_adjusted = classical.equalize_adapthist(
@@ -100,7 +100,7 @@ def _fiber_steps(fiber_channel_data, fov_len, blur, contrast_scaling_divisor,
     segmentation = np.maximum(
         watershed_ops.watershed(elevation_map, threshed.astype(np.int32)) - 1,
         0)
-    labeled, _ = ndi.label(segmentation)
+    labeled, _ = cc.label_np(segmentation)  # device CC (scipy-exact ids)
     labeled_filtered = morphology.remove_small_objects(
         labeled, min_size=min_fiber_size) * segmentation
     return {"blurred": blurred, "contrast_adjusted": contrast_adjusted,
