@@ -14,6 +14,9 @@ Design stance (see SURVEY.md §7):
 __version__ = "0.1.0"
 
 import os as _os
+import sys as _sys
+
+_CACHE_OFF = ("0", "", "false", "off", "no")
 
 
 def _default_compile_cache():
@@ -25,24 +28,34 @@ def _default_compile_cache():
     to seconds (measured: the pixel-clustering template end-to-end on a
     TPU attach went 222 s -> 7.7 s). Precedence: an explicit
     JAX_COMPILATION_CACHE_DIR (jax's own env var) or a prior
-    jax.config.update always wins; ARK_TPU_XLA_CACHE=0 disables, any
-    other value overrides the default path (~/.cache/ark_tpu/xla_cache).
-    Cache keys include platform + compile options, so CPU/TPU runs never
-    collide."""
-    knob = _os.environ.get("ARK_TPU_XLA_CACHE")
-    if knob == "0" or _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        return
-    import jax
+    jax.config.update always wins; ARK_TPU_XLA_CACHE=0/false/off/no (or
+    empty) disables, any other value overrides the default path
+    (~/.cache/ark_tpu/xla_cache). Cache keys include platform + compile
+    options, so CPU/TPU runs never collide.
 
-    if jax.config.jax_compilation_cache_dir:  # configured by the app
+    Importing ark_tpu must NOT import jax itself: users (and this repo's
+    own conftest) rely on setting JAX_PLATFORMS/XLA_FLAGS between
+    `import ark_tpu` and their first jax import, and an eager jax import
+    would bake the session defaults in. So: if jax is already loaded
+    (e.g. via sitecustomize), set the config directly; otherwise seed
+    jax's own env var, which jax reads whenever it is first imported."""
+    knob = _os.environ.get("ARK_TPU_XLA_CACHE")
+    if knob is not None and knob.strip().lower() in _CACHE_OFF:
+        return
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
     path = knob or _os.path.join(
         _os.path.expanduser("~"), ".cache", "ark_tpu", "xla_cache")
     try:
         _os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
     except OSError:  # read-only home etc. — cache is best-effort
-        pass
+        return
+    if "jax" in _sys.modules:
+        jax = _sys.modules["jax"]
+        if not jax.config.jax_compilation_cache_dir:  # app config wins
+            jax.config.update("jax_compilation_cache_dir", path)
+    else:
+        _os.environ["JAX_COMPILATION_CACHE_DIR"] = path
 
 
 _default_compile_cache()

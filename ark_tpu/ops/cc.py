@@ -85,10 +85,17 @@ def _cc_rounds(fg: jax.Array, lab: jax.Array, connectivity: int,
       (c) pointer doubling — ceil(log2 n) jumps (early-out) flatten any
           hook chain, so every label is a root again.
     After (b)+(c) every non-minimal tree has merged into a strictly
-    smaller neighboring tree, and chains collapse within the round, so
-    the number of distinct labels per component at least halves per
-    round: ceil(log2 n) + 2 rounds suffice (the classic SV bound; the
-    percolation-mask tests check the flag directly).
+    smaller neighboring tree, and chains collapse within the round.
+    NOTE the round budget is empirical, not proved: distinct-label count
+    does NOT provably halve per round (a large center region ringed by m
+    smaller-indexed satellites drops m+1 labels to m in one round —
+    satellites are local minima and sit still while the center hooks).
+    Convergence itself is guaranteed (labels strictly decrease somewhere
+    every active round and are bounded below), and the worst measured
+    adversarial mask (128² percolation / combs / bridged rings / spiral)
+    used 7 rounds against the default 2·ceil(log2 n) + 4 budget; the
+    returned flag certifies the fixpoint, and the `*_np` wrappers resume
+    automatically if it is ever False.
 
     Exactness: labels only decrease (candidate <= own label, hook <=
     candidate over the own region, jumps follow L with L[j] <= j), every
@@ -156,6 +163,12 @@ def _renumber(fg: jax.Array, rep: jax.Array):
     return labels.reshape(h, w).astype(jnp.int32), ranks[-1]
 
 
+def _budget(n: int) -> int:
+    """Default round budget: generous because converged rounds early-out
+    to ~scan overhead; worst adversarial measurement used 7 rounds."""
+    return 2 * _n_log(n) + 4
+
+
 @functools.partial(jax.jit, static_argnames=("connectivity",))
 def _label_full(fg: jax.Array, connectivity: int):
     """One-dispatch CC: init → rounds → renumber. Returns
@@ -164,7 +177,7 @@ def _label_full(fg: jax.Array, connectivity: int):
     n = h * w
     iota = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
     lab0 = jnp.where(fg, iota, jnp.int32(n))
-    rep, done = _cc_rounds(fg, lab0, connectivity, _n_log(n) + 2)
+    rep, done = _cc_rounds(fg, lab0, connectivity, _budget(n))
     labels, count = _renumber(fg, rep)
     return labels, count, rep, done
 
@@ -173,7 +186,7 @@ def _label_full(fg: jax.Array, connectivity: int):
 def _label_resume(fg: jax.Array, rep: jax.Array, connectivity: int):
     """Continuation for the (never observed) case the round budget fell
     short: run another budget of rounds from the previous state."""
-    rep, done = _cc_rounds(fg, rep, connectivity, _n_log(fg.size) + 2)
+    rep, done = _cc_rounds(fg, rep, connectivity, _budget(fg.size))
     labels, count = _renumber(fg, rep)
     return labels, count, rep, done
 
@@ -202,11 +215,31 @@ def label_np(mask: np.ndarray, connectivity: int = 1):
     one device dispatch in the (always, in practice) converged case, with
     automatic continuation rounds as the unconditional exactness
     backstop."""
+    labels, n = label_checked(mask, connectivity)
+    return np.asarray(labels), int(n)
+
+
+def label_checked(mask, connectivity: int = 1):
+    """Flag-checked labeling returning DEVICE arrays (labels, n): the
+    exactness-guaranteed entry for host-driven pipelines whose downstream
+    ops stay on device (ez_seg area filtering, hole filling)."""
     fg = jnp.asarray(np.asarray(mask) != 0)
     labels, n, rep, done = _label_full(fg, connectivity)
     while not bool(done):  # pragma: no cover — never hit by any known mask
         labels, n, rep, done = _label_resume(fg, rep, connectivity)
-    return np.asarray(labels), int(n)
+    return labels, n
+
+
+def remove_small_holes_np(mask: np.ndarray, area_threshold: int = 64,
+                          connectivity: int = 1) -> np.ndarray:
+    """Flag-checked numpy twin of `remove_small_holes` (the jitted version
+    trusts the round budget; this one resumes on the flag). Used by
+    `ops.morphology.remove_small_holes` — the production hole-filling
+    path."""
+    fg = np.asarray(mask).astype(bool)
+    bg_labels, _ = label_checked(~fg, connectivity)
+    big_bg = area_filter(bg_labels, min_area=area_threshold + 1) > 0
+    return np.asarray(jnp.asarray(fg) | ((bg_labels > 0) & ~big_bg))
 
 
 @functools.partial(jax.jit, static_argnames=("n_max",))
@@ -235,7 +268,10 @@ def area_filter(labels: jax.Array, n_max: int | None = None,
 def remove_small_objects(mask: jax.Array, min_size: int = 5,
                          connectivity: int = 1) -> jax.Array:
     """Boolean-mask variant: drop connected components smaller than
-    min_size (skimage remove_small_objects on a bool image)."""
+    min_size (skimage remove_small_objects on a bool image). Jitted/fusable;
+    trusts the round budget (see `_cc_rounds`) — host callers who want the
+    flag-checked guarantee should label via `label_np` and filter with
+    `area_filter`."""
     labels, _ = label(mask, connectivity=connectivity)
     return area_filter(labels, min_area=min_size) > 0
 
@@ -246,7 +282,8 @@ def remove_small_holes(mask: jax.Array, area_threshold: int = 64,
     """Fill background components of area <= area_threshold (skimage
     semantics — the op is remove_small_objects on the COMPLEMENT with an
     inclusive threshold; border-touching holes fill like any other).
-    Device twin of `ops.morphology.remove_small_holes`."""
+    Jitted/fusable; trusts the round budget (see `_cc_rounds`) — the
+    production host path is the flag-checked `remove_small_holes_np`."""
     fg = mask.astype(bool)
     bg_labels, _ = label(~fg, connectivity=connectivity)
     big_bg = area_filter(bg_labels, min_area=area_threshold + 1) > 0

@@ -83,9 +83,7 @@ def remove_small_holes(mask: np.ndarray, area_threshold: int = 64) -> np.ndarray
     from the reference). The test oracle is an independent in-test scipy
     labeling (tests/ops/test_cc.py), not this function."""
     from ark_tpu.ops import cc
-    mask = np.asarray(mask).astype(bool)
-    return np.asarray(cc.remove_small_holes(jnp.asarray(mask),
-                                            area_threshold=area_threshold))
+    return cc.remove_small_holes_np(mask, area_threshold=area_threshold)
 
 
 def erode_mask(mask: np.ndarray, connectivity: int = 2) -> np.ndarray:

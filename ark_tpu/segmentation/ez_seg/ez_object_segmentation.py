@@ -114,16 +114,11 @@ def _create_object_mask(input_image, object_shape_type="blob", sigma: int = 1,
         img2mask_filtered = img2mask_rm_holes
 
     binary = np.asarray(img2mask_filtered) > 0
-    labeled, n = cc.label_np(binary, connectivity=2)  # 8-connected, device
-
-    # area filter via LUT (reference uses skimage map_array)
-    counts = np.bincount(labeled.reshape(-1))
-    keep = np.zeros(len(counts), dtype=np.int32)
-    ids = np.arange(len(counts))
-    good = (counts >= min_object_area) & (counts <= max_object_area)
-    good[0] = False
-    keep[good] = ids[good]
-    return keep[labeled].astype(np.int32)
+    # 8-connected device labeling (flag-checked) + device area filter —
+    # surviving objects keep their ids (reference uses skimage map_array)
+    labeled, _ = cc.label_checked(binary, connectivity=2)
+    return np.asarray(cc.area_filter(labeled, min_area=min_object_area,
+                                     max_area=max_object_area))
 
 
 def get_block_size(block_type: str, fov_dim: int, img_shape: int) -> int:
