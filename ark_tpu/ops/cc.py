@@ -216,7 +216,9 @@ def label_np(mask: np.ndarray, connectivity: int = 1):
     automatic continuation rounds as the unconditional exactness
     backstop."""
     labels, n = label_checked(mask, connectivity)
-    return np.asarray(labels), int(n)
+    # np.array, not np.asarray: asarray of a jax array is a READ-ONLY view,
+    # and the host pipelines this feeds mutate their label images in place
+    return np.array(labels), int(n)
 
 
 def label_checked(mask, connectivity: int = 1):
@@ -239,7 +241,7 @@ def remove_small_holes_np(mask: np.ndarray, area_threshold: int = 64,
     fg = np.asarray(mask).astype(bool)
     bg_labels, _ = label_checked(~fg, connectivity)
     big_bg = area_filter(bg_labels, min_area=area_threshold + 1) > 0
-    return np.asarray(jnp.asarray(fg) | ((bg_labels > 0) & ~big_bg))
+    return np.array(jnp.asarray(fg) | ((bg_labels > 0) & ~big_bg))
 
 
 @functools.partial(jax.jit, static_argnames=("n_max",))

@@ -117,8 +117,9 @@ def _create_object_mask(input_image, object_shape_type="blob", sigma: int = 1,
     # 8-connected device labeling (flag-checked) + device area filter —
     # surviving objects keep their ids (reference uses skimage map_array)
     labeled, _ = cc.label_checked(binary, connectivity=2)
-    return np.asarray(cc.area_filter(labeled, min_area=min_object_area,
-                                     max_area=max_object_area))
+    # np.array: callers mutate the returned mask in place (masking_utils)
+    return np.array(cc.area_filter(labeled, min_area=min_object_area,
+                                   max_area=max_object_area))
 
 
 def get_block_size(block_type: str, fov_dim: int, img_shape: int) -> int:
