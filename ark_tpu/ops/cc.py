@@ -227,7 +227,8 @@ def label_checked(mask, connectivity: int = 1):
     ops stay on device (ez_seg area filtering, hole filling)."""
     fg = jnp.asarray(np.asarray(mask) != 0)
     labels, n, rep, done = _label_full(fg, connectivity)
-    while not bool(done):  # pragma: no cover — never hit by any known mask
+    while not bool(done):  # never hit at the default budget; tested by
+        # shrinking the budget (tests/ops/test_cc.py backstop test)
         labels, n, rep, done = _label_resume(fg, rep, connectivity)
     return labels, n
 

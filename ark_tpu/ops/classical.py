@@ -159,6 +159,20 @@ def _clahe_device(img: jax.Array, th: int, tw: int, n_tr: int, n_tc: int,
     return out[:h, :w]
 
 
+def _clahe_geometry(h: int, w: int, kernel_size):
+    """Static tile geometry (th, tw, n_tr, n_tc) shared by the host-facing
+    CLAHE wrapper and fused device pipelines."""
+    if kernel_size is None:
+        kernel_size = (h // 8, w // 8)
+    if np.isscalar(kernel_size):
+        kernel_size = (int(kernel_size), int(kernel_size))
+    th = max(int(round(kernel_size[0])), 2)
+    tw = max(int(round(kernel_size[1])), 2)
+    n_tr = max(-(-h // th), 1)
+    n_tc = max(-(-w // tw), 1)
+    return th, tw, n_tr, n_tc
+
+
 def equalize_adapthist(img, kernel_size=None, clip_limit: float = 0.01,
                        nbins: int = 256) -> np.ndarray:
     """CLAHE: tile-wise clipped histogram equalization with bilinear blending
@@ -171,14 +185,7 @@ def equalize_adapthist(img, kernel_size=None, clip_limit: float = 0.01,
     only per distinct (image shape, tile geometry)."""
     arr = jnp.asarray(img)
     h, w = arr.shape
-    if kernel_size is None:
-        kernel_size = (h // 8, w // 8)
-    if np.isscalar(kernel_size):
-        kernel_size = (int(kernel_size), int(kernel_size))
-    th = max(int(round(kernel_size[0])), 2)
-    tw = max(int(round(kernel_size[1])), 2)
-    n_tr = max(-(-h // th), 1)
-    n_tc = max(-(-w // tw), 1)
+    th, tw, n_tr, n_tc = _clahe_geometry(h, w, kernel_size)
     return np.asarray(_clahe_device(arr, th, tw, n_tr, n_tc,
                                     float(clip_limit), int(nbins)),
                       np.float64)
@@ -204,14 +211,13 @@ def _hessian_eigvals(img: jax.Array, sigma: float):
     return l1, l2
 
 
-def frangi(img, sigmas: Iterable[float] = (1, 3, 5, 7, 9),
-           black_ridges: bool = False, beta: float = 0.5,
-           gamma: float = 15.0) -> np.ndarray:
-    """Frangi vesselness: max over scales of
-    exp(−R_b²/2β²)·(1−exp(−S²/2γ²)) on ridge-signed Hessian eigenvalues."""
-    x = jnp.asarray(np.asarray(img), jnp.float32)
-    if black_ridges:
-        x = -x
+def _frangi_device(x: jax.Array, sigmas, beta: float = 0.5,
+                   gamma: float = 15.0) -> jax.Array:
+    """Traceable Frangi core (bright ridges): max over scales of
+    exp(−R_b²/2β²)·(1−exp(−S²/2γ²)) on ridge-signed Hessian eigenvalues.
+    Shared by the host-facing `frangi` and fused device pipelines (where
+    the per-scale eigenvalue programs fuse into one dispatch instead of
+    one per sigma)."""
     out = None
     for sigma in sigmas:
         l1, l2 = _hessian_eigvals(x, float(sigma))
@@ -221,7 +227,17 @@ def frangi(img, sigmas: Iterable[float] = (1, 3, 5, 7, 9),
             (1 - jnp.exp(-s2 / (2 * gamma ** 2)))
         v = jnp.where(l2 < 0, v, 0.0)   # bright ridges: λ2 negative
         out = v if out is None else jnp.maximum(out, v)
-    return np.asarray(out)
+    return out
+
+
+def frangi(img, sigmas: Iterable[float] = (1, 3, 5, 7, 9),
+           black_ridges: bool = False, beta: float = 0.5,
+           gamma: float = 15.0) -> np.ndarray:
+    """Frangi vesselness (see `_frangi_device`)."""
+    x = jnp.asarray(np.asarray(img), jnp.float32)
+    if black_ridges:
+        x = -x
+    return np.asarray(_frangi_device(x, sigmas, beta, gamma))
 
 
 def meijering(img, sigmas: Iterable[float] = (1, 3, 5, 7, 9),

@@ -8,17 +8,21 @@ generate_summary_stats :499-573).
 
 Pipeline per FOV (reference steps :324-356): Gaussian blur → CLAHE → Frangi
 ridge filter → EDT of thresholded ridges → multi-Otsu 3-class markers →
-Sobel elevation → watershed → small-object removal. Blur/CLAHE/Frangi/EDT/
-Sobel and the post-watershed connected-component labeling run on device
-(ark_tpu.ops, exact EDT in `ops/edt.py`, CC in `ops/cc.py`); the watershed
-flood is the native C++ kernel."""
+Sobel elevation → watershed → small-object removal. The whole device side
+(blur/CLAHE/Frangi/EDT/Sobel) runs as ONE fused jitted program
+(`_fiber_device_program`; exact EDT in `ops/edt.py`), the post-watershed
+connected-component labeling is the device CC kernel (`ops/cc.py`), and
+the watershed flood is the native C++ kernel — two device dispatches per
+FOV plus the host multi-Otsu DP and flood."""
 
 from __future__ import annotations
 
+import functools
 import itertools
 import os
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -61,40 +65,66 @@ def _fiber_regionprops_table(labeled: np.ndarray, properties) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "blur", "th", "tw", "n_tr", "n_tc", "fiber_widths", "sobel_blur"))
+def _fiber_device_program(img: jax.Array, ridge_cutoff, *, blur, th, tw,
+                          n_tr, n_tc, fiber_widths, sobel_blur):
+    """The fiber pipeline's entire device side as ONE fused program:
+    blur → normalize → CLAHE → Frangi (all scales) → EDT → blur →
+    Sobel elevation. Eager per-step calls cost a ~30 ms dispatch each on
+    remote TPU attaches (Frangi alone is one per scale); fusing leaves two
+    device dispatches per FOV (this program + the post-watershed CC). The
+    multi-Otsu DP and the priority-flood stay on host — the DP needs 256
+    histogram bins of an array the host needs anyway (threshed markers,
+    debug saves), and the flood is the native C++ kernel. The Sobel
+    elevation map is threshold-independent, so nothing device-side waits
+    on the host DP."""
+    blurred = image_filters.gaussian_blur(img.astype(jnp.float32),
+                                          sigma=blur)
+    norm = blurred / jnp.maximum(jnp.max(blurred), 1e-12)
+    contrast = classical._clahe_device(norm, th, tw, n_tr, n_tc, 0.01, 256)
+    ridges = classical._frangi_device(contrast.astype(jnp.float32),
+                                      fiber_widths) * 10000
+    fg = ridges > ridge_cutoff
+    has_bg = jnp.any(~fg)
+    edt = edt_ops.distance_transform_edt(fg)
+    edt = jnp.where(has_bg, edt, 0.0)  # all-fg: EDT undefined (see caller)
+    dt = image_filters.gaussian_blur(edt.astype(jnp.float32), sigma=1)
+    elevation = classical.sobel(image_filters.gaussian_blur(
+        dt, sigma=sobel_blur))
+    return {"blurred": blurred, "contrast_adjusted": contrast,
+            "ridges": ridges, "distance_transformed": dt,
+            "elevation_map": elevation, "has_bg": has_bg}
+
+
 def _fiber_steps(fiber_channel_data, fov_len, blur, contrast_scaling_divisor,
                  fiber_widths, ridge_cutoff, sobel_blur, min_fiber_size):
     """Run the step chain; returns dict of intermediates + final labels."""
-    blurred = np.asarray(image_filters.gaussian_blur(
-        jnp.asarray(fiber_channel_data, jnp.float32), sigma=blur))
-    contrast_adjusted = classical.equalize_adapthist(
-        blurred / max(np.max(blurred), 1e-12),
-        kernel_size=fov_len / contrast_scaling_divisor)
-    ridges = classical.frangi(contrast_adjusted, sigmas=fiber_widths,
-                              black_ridges=False) * 10000
-    edt = np.asarray(edt_ops.distance_transform_edt(
-        jnp.asarray(ridges) > ridge_cutoff))
-    if not np.isfinite(edt).all():
+    h, w = np.asarray(fiber_channel_data).shape
+    th, tw, n_tr, n_tc = classical._clahe_geometry(
+        h, w, fov_len / contrast_scaling_divisor)
+    dev = _fiber_device_program(
+        jnp.asarray(fiber_channel_data, jnp.float32),
+        jnp.float32(ridge_cutoff), blur=blur, th=th, tw=tw, n_tr=n_tr,
+        n_tc=n_tc, fiber_widths=tuple(fiber_widths), sobel_blur=sobel_blur)
+    if not bool(dev["has_bg"]):
         # the whole FOV is above ridge_cutoff: distance-to-background is
         # undefined (ops/edt returns +inf; scipy's answer there is a
         # phantom-corner artifact). There are no fiber/background boundaries
-        # to segment — warn and return an empty result instead of letting
-        # inf thresholds silently zero everything downstream
+        # to segment — warn; the program already zeroed the EDT so every
+        # downstream stage returns an empty segmentation
         import warnings
         warnings.warn(
             "fiber ridge mask covers the entire FOV (every frangi response "
             f"exceeds ridge_cutoff={ridge_cutoff}); no fiber boundaries "
             "exist at this cutoff — returning an empty segmentation. "
             "Raise ridge_cutoff for this FOV.")
-        edt = np.zeros_like(edt)
-    distance_transformed = np.asarray(image_filters.gaussian_blur(
-        jnp.asarray(edt, jnp.float32), sigma=1))
+    distance_transformed = np.asarray(dev["distance_transformed"])
+    elevation_map = np.asarray(dev["elevation_map"])
     thresholds = classical.multi_otsu(distance_transformed, classes=3)
     threshed = np.zeros_like(distance_transformed)
     threshed[distance_transformed < thresholds[0]] = 1
     threshed[distance_transformed > thresholds[1]] = 2
-    elevation_map = np.asarray(classical.sobel(jnp.asarray(
-        image_filters.gaussian_blur(jnp.asarray(distance_transformed),
-                                    sigma=sobel_blur))))
     # markers: class 1 = background, class 2 = fiber; unreached pixels clamp
     # to background instead of the reference's skimage -1 underflow
     segmentation = np.maximum(
@@ -103,8 +133,11 @@ def _fiber_steps(fiber_channel_data, fov_len, blur, contrast_scaling_divisor,
     labeled, _ = cc.label_np(segmentation)  # device CC (scipy-exact ids)
     labeled_filtered = morphology.remove_small_objects(
         labeled, min_size=min_fiber_size) * segmentation
-    return {"blurred": blurred, "contrast_adjusted": contrast_adjusted,
-            "ridges": ridges, "distance_transformed": distance_transformed,
+    return {"blurred": np.asarray(dev["blurred"]),
+            "contrast_adjusted": np.asarray(dev["contrast_adjusted"],
+                                            np.float64),
+            "ridges": np.asarray(dev["ridges"]),
+            "distance_transformed": distance_transformed,
             "threshed": threshed, "elevation_map": elevation_map,
             "labeled_filtered": labeled_filtered.astype(np.int32)}
 

@@ -121,6 +121,21 @@ def test_round_budget_converges_with_margin(rng):
             assert bool(done)
 
 
+def test_backstop_resume_path(rng, monkeypatch):
+    # force a 1-round budget so _label_full returns done=False and
+    # label_np's continuation loop actually runs (the production backstop
+    # for the empirical round bound). Unique shape: jit caches by shape,
+    # and a shape already traced with the real budget would be reused.
+    monkeypatch.setattr(cc, "_budget", lambda n: 1)
+    mask = rng.random((37, 41)) < 0.55
+    _, _, _, done = cc._label_full(jnp.asarray(mask), 1)
+    assert not bool(done)  # the tiny budget must NOT converge this mask
+    got, n = cc.label_np(mask, connectivity=1)
+    want, n_want = _oracle(mask, 1)
+    assert n == n_want
+    np.testing.assert_array_equal(got, want)
+
+
 def test_diagonal_touching_distinguishes_connectivity():
     mask = np.eye(8, dtype=bool)
     _, n4 = cc.label_np(mask, connectivity=1)
