@@ -323,6 +323,44 @@ def test_clahe_device_matches_numpy_oracle(rng, shape, ks):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_clahe_hand_computed_literals():
+    """Formulation-binding CLAHE oracle with HAND-DERIVED literal expected
+    values (not a transcription of the implementation — the numpy oracle
+    above shares the device code's formulation, so a shared formulation
+    error would self-confirm there; these constants were worked out on
+    paper from the algorithm definition and every quantity is dyadic, so
+    f32 evaluates them exactly).
+
+    Setup: 8×8 image of four constant 4×4 quadrant tiles with values
+    0.25 / 0.5 / 0.75 / 1.0 → bins 63 / 127 / 191 / 255 (floor of v·255).
+    Per tile: hist = 16 at one bin; clip = max(0.01·16, 1) = 1; excess 15
+    redistributed as 15/256 per bin; normalization total = 16. Transfer
+    function of a tile with own-bin b*: T(b) = ((b+1)·15/256 + [b ≥ b*])/16.
+    Grid: pixel i has tile coordinate (i+0.5)/4 − 0.5, floor clamped to
+    [0, 1]; bilinear blend with edge clamping."""
+    img = np.zeros((8, 8), np.float32)
+    img[:4, :4] = 0.25   # TL, bin 63
+    img[:4, 4:] = 0.5    # TR, bin 127
+    img[4:, :4] = 0.75   # BL, bin 191
+    img[4:, 4:] = 1.0    # BR, bin 255
+    out = np.asarray(classical.equalize_adapthist(img, kernel_size=4))
+
+    # corner (0,0): fy = fx = 0 → pure TL transfer at b = b* = 63:
+    #   T = (64·15/256 + 1)/16 = (3.75 + 1)/16 = 0.296875
+    assert out[0, 0] == pytest.approx(0.296875, abs=1e-6)
+    # (0,2): fy = 0, x0 = 0, fx = (2.5)/4 − 0.5 = 0.125; bin 63:
+    #   T_TL(63) = 0.296875;  T_TR(63) = (64·15/256 + 0)/16 = 0.234375
+    #   expected = 0.875·0.296875 + 0.125·0.234375 = 0.2890625
+    assert out[0, 2] == pytest.approx(0.2890625, abs=1e-6)
+    # (3,3): fy = fx = 0.375; bin 63; only TL's transfer has the jump:
+    #   0.625·(0.625·0.296875 + 0.375·0.234375) + 0.375·0.234375
+    #   = 0.2587890625
+    assert out[3, 3] == pytest.approx(0.2587890625, abs=1e-6)
+    # far corner (7,7): fy, fx clamp to the BR tile; bin 255, b* = 255:
+    #   T = (256·15/256 + 1)/16 = 1.0
+    assert out[7, 7] == pytest.approx(1.0, abs=1e-6)
+
+
 def test_frangi_enhances_ridges_suppresses_blobs(rng):
     img = np.zeros((64, 64), np.float32)
     img[30:33, 8:56] = 1.0                       # a thin bright ridge

@@ -56,6 +56,34 @@ def test_trustworthiness_matches_sklearn_tsne(rng):
     assert t_ours > t_theirs - 0.05, (t_ours, t_theirs)
 
 
+def test_within_cluster_structure_not_collapsed(rng):
+    """Binds the t-SNE machinery the coarse blob-separation tests can't
+    (oracle-audit finding): an attraction-only gradient or broken Student-t
+    Q still separates well-separated blobs (each connected component just
+    collapses to a clump), scoring high purity/trustworthiness. Real t-SNE
+    repulsion keeps within-cluster spread non-degenerate, and the embedding
+    preserves within-cluster distance ORDER, not just membership. Healthy
+    measurements on this fixture: within/between ≈ 0.038, Spearman ≈
+    0.72-0.79 — thresholds sit far below those but far above the failure
+    modes (collapse → ratio ~1e-6; clumping → correlation ~0)."""
+    from scipy.spatial.distance import cdist
+    from scipy.stats import spearmanr
+
+    x, labels = _blobs(rng, n_per=40, n_blobs=3)
+    emb = tsne_ops.tsne(x, n_iter=500, seed=0)
+    cent = np.stack([emb[labels == k].mean(0) for k in range(3)])
+    between = cdist(cent, cent)
+    between = between[between > 0].mean()
+    iu = np.triu_indices(40, 1)
+    for k in range(3):
+        e, xk = emb[labels == k], x[labels == k]
+        within = cdist(e, e)[iu]
+        spread = within.mean() / between
+        assert spread > 0.01, f"blob {k} collapsed: within/between {spread:.2e}"
+        rho = spearmanr(within, cdist(xk, xk)[iu]).statistic
+        assert rho > 0.4, f"blob {k} distance order lost: spearman {rho:.3f}"
+
+
 def test_deterministic_per_seed(rng):
     x, _ = _blobs(rng, n_per=20, n_blobs=2)
     a = tsne_ops.tsne(x, n_iter=100, seed=7)

@@ -147,6 +147,14 @@ def _execute(nb, workdir):
     return nb
 
 
+def _assert_csv_nonempty(path):
+    """Output-artifact oracle for otherwise smoke-only notebook runs: the
+    file must exist and carry at least one data row."""
+    import pandas as pd
+    assert os.path.exists(path), f"notebook wrote no {os.path.basename(path)}"
+    assert len(pd.read_csv(path)) > 0, f"{os.path.basename(path)} is empty"
+
+
 def _run(name, base, extra_replacements=None, inserts=()):
     import nbformat
 
@@ -188,6 +196,9 @@ _avg_p = os.path.join(base_dir, 'cell_som_cluster_count_avg.csv')
 _avg = pd.read_csv(_avg_p)
 _renum = {v: i + 1 for i, v in
           enumerate(sorted(_avg['cell_som_cluster'].astype(int)))}
+# collapse guard: renumbering must not paper over a SOM that assigns
+# (nearly) everything to one node (the r2 n_steps=1 bug class)
+assert len(_renum) >= 3, f'cell SOM collapsed to {len(_renum)} node(s)' 
 _avg['cell_som_cluster'] = _avg['cell_som_cluster'].map(_renum)
 _avg.sort_values('cell_som_cluster').to_csv(_avg_p, index=False)
 cell_som_input_data['cell_som_cluster'] = \\
@@ -245,6 +256,7 @@ def test_nb_4_post_clustering(cohort_base):
 
 def test_nb_mixing_scores(cohort_base):
     _run("Calculate_Mixing_Scores.ipynb", cohort_base)
+    _assert_csv_nonempty(os.path.join(cohort_base, "mixing_scores.csv"))
 
 
 def test_nb_generalized_masking(cohort_base):
@@ -321,11 +333,17 @@ def test_nb_cell_neighbors_analysis(cohort_base):
 def test_nb_neighborhood_analysis(cohort_base):
     _run("example_neighborhood_analysis_script.ipynb", cohort_base,
          {"cluster_num = 6": "cluster_num = 2"})
+    # the notebook writes the clustered cell table (the counts/freqs CSVs
+    # are the .py twin's extra outputs)
+    _assert_csv_nonempty(os.path.join(cohort_base,
+                                      "cell_table_neighborhoods.csv"))
 
 
 def test_nb_pairwise_spatial_enrichment(cohort_base):
     _run("example_pairwise_spatial_enrichment.ipynb", cohort_base,
          {"bootstrap_num = 100": "bootstrap_num = 25"})
+    _assert_csv_nonempty(os.path.join(cohort_base,
+                                      "spatial_enrichment_stats.csv"))
 
 
 def test_nb_example_visualization(cohort_base):
@@ -341,6 +359,8 @@ def test_nb_ez_segmenter(cohort_base):
 def test_nb_generic_cell_clustering(cohort_base):
     _run("generic_cell_clustering.ipynb", cohort_base,
          {"max_k = 20": "max_k = 3"})
+    _assert_csv_nonempty(os.path.join(cohort_base,
+                                      "generic_cell_clusters.csv"))
 
 
 def test_nb_mask_generation(cohort_base):
@@ -350,8 +370,18 @@ def test_nb_mask_generation(cohort_base):
 
 def test_every_notebook_is_executed_somewhere():
     """Each .ipynb in templates/ must be driven by a test in this module —
-    a new template can't silently skip execution coverage."""
-    src = open(__file__).read()
+    a new template can't silently skip execution coverage. AST-based: only
+    literal first arguments of actual _run(...) calls count, so a filename
+    surviving in a comment or dead string can't satisfy coverage."""
+    import ast
+    tree = ast.parse(open(__file__).read())
+    executed = set()
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Name)
+                and node.func.id == "_run" and node.args
+                and isinstance(node.args[0], ast.Constant)):
+            executed.add(node.args[0].value)
     missing = [n for n in os.listdir(TEMPLATES) if n.endswith(".ipynb")
-               and f'"{n}"' not in src]
+               and n not in executed]
     assert not missing, f"notebooks never executed: {missing}"

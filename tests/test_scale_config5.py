@@ -39,9 +39,12 @@ def test_100_fov_cohort_streams_through_mesh_in_batches():
     post = np.full(c, 0.8, np.float32)
 
     per_fov_clusters = {}
+    first_batch_imgs = None
     for start in range(0, 100, 10):
         batch_fovs = FOVS_100[start:start + 10]
         imgs = rng.random((10, 16, 16, c)).astype(np.float32)
+        if first_batch_imgs is None:
+            first_batch_imgs = imgs
         out = cohort.run_pixel_cohort(imgs, norms, 0.05, post, weights,
                                       mesh=mesh)
         for name, row in zip(batch_fovs, out["som_clusters"]):
@@ -50,6 +53,19 @@ def test_100_fov_cohort_streams_through_mesh_in_batches():
     assert all(v.shape == (256,) for v in per_fov_clusters.values())
     # the pipeline must have assigned real clusters, not all-filtered
     assert max(int(v.max()) for v in per_fov_clusters.values()) > 0
+    # value oracle (not just shape/positivity): the mesh-sharded batch
+    # program must agree with a direct per-FOV evaluation that bypasses
+    # the mesh/vmap/pad/shard machinery this test exists to exercise —
+    # catches wrong-row/wrong-shard regressions the old max() > 0 missed
+    # (formula-level correctness is bound by the phenotyping goldens)
+    import jax.numpy as jnp
+    for i, name in enumerate(FOVS_100[:10]):
+        direct = cohort._pixel_per_fov(
+            jnp.asarray(first_batch_imgs[i]), jnp.asarray(norms),
+            jnp.float32(0.05), jnp.asarray(post), jnp.asarray(weights),
+            blur_factor=2)
+        np.testing.assert_array_equal(per_fov_clusters[name],
+                                      np.asarray(direct["som_clusters"]))
 
 
 def test_100_fov_resume_mid_cohort(tmp_path):
@@ -64,6 +80,7 @@ def test_100_fov_resume_mid_cohort(tmp_path):
     base = tmp_path
     (base / "pixel_mat_subsetted").mkdir()
     (base / "pixel_mat_data").mkdir()
+    originals = {}
     for fov in FOVS_100:
         df = pd.DataFrame(rng.random((20, 3)).astype(np.float32),
                           columns=channels)
@@ -71,6 +88,7 @@ def test_100_fov_resume_mid_cohort(tmp_path):
         df["row_index"] = rng.integers(0, 16, 20)
         df["column_index"] = rng.integers(0, 16, 20)
         df["label"] = rng.integers(1, 5, 20)
+        originals[fov] = df.copy()
         feather.write_dataframe(df.sample(10, random_state=1),
                                 base / "pixel_mat_subsetted" / f"{fov}.feather")
         feather.write_dataframe(df, base / "pixel_mat_data" / f"{fov}.feather")
@@ -97,6 +115,15 @@ def test_100_fov_resume_mid_cohort(tmp_path):
         df = feather.read_dataframe(base / "pixel_mat_data" / f"{fov}.feather")
         assert "pixel_som_cluster" in df.columns
         assert len(df) == 20
+        # losslessness oracle: committed values must equal a direct
+        # assignment of the ORIGINAL per-FOV table (the committed channels
+        # are already norm-divided, so re-assigning them would double-
+        # normalize) — both for the FOVs the "crashed run" had written
+        # into temp (0, 39: temp data preserved, not garbage-committed)
+        # and for the resumed tail (40, 99)
+        want = pysom.assign_som_clusters(originals[fov])
+        np.testing.assert_array_equal(df["pixel_som_cluster"].values,
+                                      want["pixel_som_cluster"].values)
 
 
 _BIG_FOV_CHILD = textwrap.dedent("""
@@ -107,6 +134,11 @@ _BIG_FOV_CHILD = textwrap.dedent("""
     # parent reports ru_maxrss=4 GB) — so the bound must be the DELTA this
     # workload adds over the at-start baseline, not the absolute peak.
     base_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    # baseline sanity: a bloated inherited high-water mark would silently
+    # loosen the delta bound below (delta < 3 with base 8 GB admits the
+    # full 10.5 GB dense matrix) — refuse to run with a meaningless base
+    assert base_gb < 4.0, f"inherited RSS baseline {base_gb:.2f} GB too " \
+        "high for the delta bound to mean anything - rerun less loaded"
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -123,16 +155,21 @@ _BIG_FOV_CHILD = textwrap.dedent("""
                                                dist_lim=50.0,
                                                block_rows=2048)
     assert counts.shape == (n, p)
-    # oracle on a slice: brute-force float64 neighbor counts for the first
-    # 64 cells. The D=2 kernel computes |a-b|² directly (the a²+b²-2ab
-    # decomposition dropped close pairs at this coordinate scale — see
+    # oracle on row slices chosen to cross the blocking structure
+    # (block_rows=2048, 51200 = 25 exact blocks): rows inside block 0,
+    # rows STRADDLING the block-0/1 boundary, and rows deep in a late
+    # block — a wrong per-block row offset is exact on block 0 and wrong
+    # everywhere after, which a first-64-rows-only oracle never sees.
+    # The D=2 kernel computes |a-b|² directly (the a²+b²-2ab decomposition
+    # dropped close pairs at this coordinate scale — see
     # pairwise_distances), so only pairs within f32 rounding of the 50.0
     # threshold may differ
-    d = np.sqrt(((coords[:64, None, :].astype(np.float64)
+    rows = np.r_[0:32, 2040:2056, 49_160:49_176]
+    d = np.sqrt(((coords[rows, None, :].astype(np.float64)
                   - coords[None, :, :].astype(np.float64)) ** 2).sum(-1))
     want = ((d < 50.0) & (d > 0)).astype(np.float64) @ onehot.astype(np.float64)
     slack = (np.abs(d - 50.0) < 1e-3).astype(np.float64) @ onehot.astype(np.float64)
-    err = np.abs(counts[:64] - want)
+    err = np.abs(counts[rows] - want)
     assert (err <= slack + 1e-3).all(), \
         f"max err {err.max()} beyond borderline slack"
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
