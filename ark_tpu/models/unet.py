@@ -223,7 +223,12 @@ class PanopticNet(nn.Module):
     inner_activation: str = "relu"
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> Dict[str, jax.Array]:
+    def __call__(self, x, train: bool = False,
+                 return_p3: bool = False) -> Dict[str, jax.Array]:
+        """return_p3=True: stop after the FPN and return the P3 feature map
+        (for head experiments, e.g. benchmarks/head_tile_ab.py) — the
+        semantic heads are neither created nor applied, so this is only
+        valid on variables initialized by a normal forward."""
         out_hw = x.shape[1:3]
         x = x.astype(self.dtype)
         if self.location:
@@ -242,6 +247,8 @@ class PanopticNet(nn.Module):
         pyramid = FPN(channels=self.fpn_channels,
                       dtype=self.dtype)(feats[1:])   # C3, C4, C5
         p3 = pyramid[0]
+        if return_p3:
+            return p3
         out = {}
         for comp in self.compartments:
             inner = SemanticHead(
