@@ -19,6 +19,13 @@ Prior head experiments (benchmarks/head_fold_ab.py): dense-below-upsample
 LOSES, elementwise lerp upsample LOSES, model-dtype resize WINS 1.47x
 (shipped). Do not integrate tiling without this A/B winning on the attach.
 
+RESULT (attach, 2026-08-18, same-process best-of-3): tiling LOSES —
+1024²/b2 tiles=2: 0.928x, tiles=4: 0.883x (standard 11.9-12.1 ms vs tiled
+13.0-13.5 ms per forward). The halo recompute + per-tile einsum overhead
+exceed the working-set savings; XLA's own 1024² schedule wins. NOT
+integrated; the exactness harness stays (tests/models/test_head_tile.py).
+
+
 Usage:
   python benchmarks/head_tile_ab.py --check          # CPU exactness
   python benchmarks/head_tile_ab.py [size] [batch] [tiles]   # attach A/B

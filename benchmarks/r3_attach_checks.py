@@ -1,10 +1,11 @@
-"""Round-3 on-attach measurements: device EDT A/B vs scipy, and the
-double-buffered `segment_fovs` vs a serial forward→postprocess loop.
+"""Round-3 on-attach measurements: device EDT A/B vs scipy, the
+double-buffered `segment_fovs` vs a serial forward→postprocess loop, and
+device connected-components vs scipy `ndi.label`.
 
 Protocol per CLAUDE.md: warm first (compiles excluded), best-of-3, same
 process for every A/B pair.
 
-Usage: python benchmarks/r3_attach_checks.py [--size 1024]
+Usage: python benchmarks/r3_attach_checks.py [--size 1024] [--only cc]
 """
 
 import argparse
@@ -101,11 +102,48 @@ def bench_segment_fovs(n_fovs=8, size=512):
             "n_fovs": n_fovs, "fov": size}
 
 
+def bench_cc(size):
+    """Device Shiloach–Vishkin CC (`ops/cc.py`) vs host scipy.ndimage.label
+    on the adversarial-ish mask class the kernel was designed against
+    (thresholded Gaussian noise ≈ percolation-scale components)."""
+    import jax
+    import scipy.ndimage as ndi
+
+    from ark_tpu.ops import cc
+
+    rng = np.random.default_rng(0)
+    mask_host = ndi.gaussian_filter(rng.random((size, size)), 2) > 0.52
+    import jax.numpy as jnp
+    jax.block_until_ready(cc.label(jnp.asarray(mask_host))[0])  # warm
+    variants = []
+    for t in range(3):
+        v = np.array(mask_host)
+        v[t, t] = ~v[t, t]
+        variants.append(jax.block_until_ready(jnp.asarray(v)))
+    dev_s = float("inf")
+    for v in variants:
+        t0 = time.perf_counter()
+        jax.block_until_ready(cc.label(v)[0])
+        dev_s = min(dev_s, time.perf_counter() - t0)
+    host_s = best_of(3, lambda: ndi.label(mask_host))
+    got, n_got = cc.label_np(mask_host)
+    want, n_want = ndi.label(mask_host)
+    exact = bool((got == want).all()) and int(n_got) == int(n_want)
+    return {"cc_device_s": round(dev_s, 4), "cc_scipy_host_s":
+            round(host_s, 4), "cc_exact": exact, "cc_n": int(n_got),
+            "cc_speedup": round(host_s / dev_s, 2)}
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--only", choices=["edt", "segment", "cc"], default=None)
     a = p.parse_args()
     out = {}
-    out.update(bench_edt(a.size))
-    out.update(bench_segment_fovs())
+    if a.only in (None, "edt"):
+        out.update(bench_edt(a.size))
+    if a.only in (None, "segment"):
+        out.update(bench_segment_fovs())
+    if a.only in (None, "cc"):
+        out.update(bench_cc(a.size))
     print(json.dumps(out))
