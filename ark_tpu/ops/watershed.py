@@ -1,13 +1,52 @@
-"""Watershed segmentation: native C++ priority-flood with numpy interface.
+"""Watershed segmentation: native C++ priority-flood (host) and a batched
+level-synchronous flood (device).
 
 Used by the Mesmer deep-watershed postprocess and the classical fiber
 pipeline (reference delegates to skimage's watershed;
-`fiber_segmentation.py:324-356`)."""
+`fiber_segmentation.py:324-356`).
+
+Device formulation (`watershed_device`). Priority-flood assigns pixel p the
+label of the marker minimizing the minimax path value f(m, p) = min over
+4-connected paths m=x0..xk=p of max(q[x0..x_{k-1}]) — p's OWN height is
+excluded because a pixel is claimed when its best neighbor pops, and a
+marker starts expanding at its own bucket (see the C++ kernel's push/pop
+discipline below). The device kernel computes the exact same claim SETS
+level-synchronously:
+
+  for level l in 0..levels-1 (one `lax.scan`):
+    sources   = labeled pixels with q <= l      (eligible to expand)
+    claim     = any unlabeled masked pixel adjacent to a source
+    phase A:  `bfs_rounds` claim rounds — each round expands the labeled
+              set one geodesic step, so ties between basins resolve by
+              BFS distance, matching the FIFO-within-bucket order of the
+              host kernel up to push order;
+    phase B:  if phase A did not converge (long conductive corridors), the
+              level is finished EXACTLY in logarithmic rounds: connected
+              components of the conductive set {mask & q <= l} (batched
+              Shiloach–Vishkin, `ops/cc.py`), then every component takes
+              the minimum source label it touches, then one frontier claim
+              round for non-conductive neighbors. Tie-breaking inside a
+              still-contested region falls from BFS-distance to min-label
+              here — the claim SETS (which basin-complex floods what, and
+              total coverage) remain exact; only equidistant-tie ownership
+              can differ from the host kernel.
+
+Both loops are fixed-length scans with `lax.cond` early-outs (the
+dynamic-trip-count remote-compile trap — see `ops/cc.py`). Coverage is
+exact by construction: at the last level every masked pixel is conductive,
+so phase B labels everything reachable from a marker within the mask —
+`(device > 0) == (host > 0)` always (tested). The returned flag certifies
+the internal SV budgets converged (always, in practice); the `*_np`
+wrapper falls back to the native kernel per image when it is ever False.
+"""
 
 from __future__ import annotations
 
 import ctypes
+import functools
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -44,3 +83,161 @@ def label_components(mask: np.ndarray) -> np.ndarray:
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ctypes.byref(n))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Device watershed (see module docstring for the algorithm and its parity
+# contract with the native kernel).
+# ---------------------------------------------------------------------------
+
+_LAB_SENTINEL = np.int32(2 ** 31 - 1)
+
+
+def _quantize(image, mask, levels: int):
+    """Per-image quantization of `image` to int32 buckets [0, levels),
+    using the same hot-pixel-robust range as the native kernel: the
+    0.1%/99.9% order statistics of the MASKED values (outliers saturate
+    into the end buckets). image, mask: (B, H, W); returns int32 q."""
+    from ark_tpu.ops.quantiles import masked_order_stats
+
+    b, h, w = image.shape
+    n = h * w
+    x = image.reshape(b, n).T.astype(jnp.float32)          # (n, B) columns
+    valid = mask.reshape(b, n).T
+    nv = jnp.sum(valid, axis=0).astype(jnp.int32)          # (B,)
+    lo_k = nv // 1000                                      # C++: size/1000
+    hi_k = jnp.maximum(nv - 1 - lo_k, 0)
+    stats = masked_order_stats(x, valid, jnp.stack([lo_k, hi_k], axis=1))
+    vmin, vmax = stats[:, 0], stats[:, 1]                  # (B,)
+    rng = vmax - vmin
+    ok = (nv > 0) & (rng > 0)
+    scale = jnp.where(ok, (levels - 1) / jnp.where(rng > 0, rng, 1.0), 0.0)
+    q = jnp.floor((image - vmin[:, None, None]) * scale[:, None, None])
+    return jnp.clip(q, 0, levels - 1).astype(jnp.int32)
+
+
+def _claim_round(lab, q, mask, level):
+    """One synchronous claim: every unlabeled masked pixel adjacent to a
+    source (labeled, q <= level) takes the min source label among its
+    4-neighbors."""
+    b, h, w = lab.shape
+    src = (lab > 0) & (q <= level)
+    v = jnp.where(src, lab, _LAB_SENTINEL)
+    p = jnp.pad(v, ((0, 0), (1, 1), (1, 1)), constant_values=_LAB_SENTINEL)
+    cand = jnp.minimum(jnp.minimum(p[:, :h, 1:w + 1], p[:, 2:, 1:w + 1]),
+                       jnp.minimum(p[:, 1:h + 1, :w], p[:, 1:h + 1, 2:]))
+    return jnp.where((lab == 0) & mask & (cand < _LAB_SENTINEL), cand, lab)
+
+
+def _resolve_level(lab, rep, q, mask, level):
+    """Finish a level exactly (phase B): conductive-component CC, min
+    source label per component, one frontier claim round. Returns
+    (lab, rep, sv_converged).
+
+    `rep` is the conductive-component forest CARRIED ACROSS LEVELS: the
+    conductive set {mask & q <= l} only grows with l, so a fixpoint forest
+    from an earlier level stays a valid Shiloach–Vishkin starting state
+    (every pointer still names a same-component pixel with a smaller-or-
+    equal index; components only ever merge). Seeding from it means each
+    invocation only pays for the NEW pixels/adjacencies since the forest
+    was last touched — a from-scratch CC per level measured 52 s for a
+    4-FOV 512² tie-heavy flood (256 levels × ~40 scatter/gather rounds);
+    the incremental forest leaves only the 1-3 genuinely-active rounds."""
+    from ark_tpu.ops import cc
+
+    b, h, w = lab.shape
+    n = h * w
+    conductive = mask & (q <= level)
+    iota = jnp.arange(n, dtype=jnp.int32).reshape(1, h, w)
+    rep_init = jnp.where(conductive & (rep == n),
+                         jnp.broadcast_to(iota, lab.shape), rep)
+    rep, done = cc._cc_rounds_batched(conductive, rep_init, 1,
+                                      cc._budget(n))
+    src_lab = jnp.where((lab > 0) & conductive, lab,
+                        _LAB_SENTINEL).reshape(b, n)
+    # 1-D segment_min with offset ids (the 2-D batched-scatter trap;
+    # see ops/cc.py _cc_rounds_batched)
+    ids = (rep.reshape(b, n)
+           + (jnp.arange(b, dtype=jnp.int32) * (n + 1))[:, None]).ravel()
+    table = jax.ops.segment_min(src_lab.ravel(), ids,
+                                num_segments=b * (n + 1))
+    got = jnp.take(table, ids).reshape(b, h, w)
+    lab = jnp.where(conductive & (lab == 0) & (got < _LAB_SENTINEL),
+                    got, lab)
+    return _claim_round(lab, q, mask, level), rep, done
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "bfs_rounds"))
+def _flood(q, markers, mask, levels: int, bfs_rounds: int):
+    lab0 = jnp.where((markers > 0) & mask, markers.astype(jnp.int32), 0)
+    n = lab0.shape[1] * lab0.shape[2]
+    rep0 = jnp.full(lab0.shape, n, jnp.int32)
+
+    def level_body(carry, level):
+        lab, rep = carry
+
+        def bfs_round(carry, _):
+            lab, done = carry
+
+            def active(lab):
+                new = _claim_round(lab, q, mask, level)
+                return new, jnp.all(new == lab)
+
+            lab, done = jax.lax.cond(done, lambda l: (l, jnp.bool_(True)),
+                                     active, lab)
+            return (lab, done), None
+
+        (lab, a_done), _ = jax.lax.scan(bfs_round, (lab, jnp.bool_(False)),
+                                        None, length=bfs_rounds)
+        lab, rep, sv_done = jax.lax.cond(
+            a_done, lambda a: (a[0], a[1], jnp.bool_(True)),
+            lambda a: _resolve_level(a[0], a[1], q, mask, level),
+            (lab, rep))
+        return (lab, rep), sv_done
+
+    (lab, _), sv_dones = jax.lax.scan(level_body, (lab0, rep0),
+                                      jnp.arange(levels, dtype=jnp.int32))
+    return lab, jnp.all(sv_dones)
+
+
+def watershed_device(image, markers, mask=None, levels: int = 256,
+                     bfs_rounds: int = 32):
+    """Batched marker watershed on device (see module docstring).
+
+    image: (B, H, W) or (H, W) float — flooded ascending (same convention
+    as `watershed`); markers: int labels, same shape; mask: optional bool.
+    Returns (labels int32 (same shape), converged bool scalar) as DEVICE
+    arrays — jittable/fusable into surrounding device pipelines. `levels`
+    trades claim-level resolution (the native kernel uses 2^16 buckets)
+    against the length of the level scan; at 256 the quantized claim
+    ordering of smooth relief (Mesmer inner-distances, EDT basins) is
+    preserved and the scan stays short.
+    """
+    image = jnp.asarray(image)
+    single = image.ndim == 2
+    if single:
+        image, markers = image[None], jnp.asarray(markers)[None]
+        mask = None if mask is None else jnp.asarray(mask)[None]
+    markers = jnp.asarray(markers).astype(jnp.int32)
+    mask = jnp.ones(image.shape, bool) if mask is None \
+        else jnp.asarray(mask).astype(bool)
+    q = _quantize(image.astype(jnp.float32), mask, levels)
+    lab, done = _flood(q, markers, mask, levels, bfs_rounds)
+    return (lab[0], done) if single else (lab, done)
+
+
+def watershed_batch_np(image: np.ndarray, markers: np.ndarray,
+                       mask: np.ndarray = None, levels: int = 256,
+                       bfs_rounds: int = 32) -> np.ndarray:
+    """Host wrapper over `watershed_device` for (B, H, W) stacks: numpy in,
+    numpy out, one device dispatch. If the internal SV budget ever fails to
+    converge (never observed; tested by shrinking the budget), falls back
+    to the native per-image flood rather than returning an uncertified
+    result."""
+    lab, done = watershed_device(image, markers, mask, levels=levels,
+                                 bfs_rounds=bfs_rounds)
+    if not bool(done):  # pragma: no cover - backstop, exercised via mock
+        mask = np.ones(image.shape, bool) if mask is None else mask
+        return np.stack([watershed(image[i], markers[i], mask[i])
+                         for i in range(image.shape[0])])
+    return np.array(lab)

@@ -23,9 +23,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from ark_tpu.models import unet
+from ark_tpu.ops import cc
 from ark_tpu.ops import morphology
 from ark_tpu.ops.quantiles import _float_keys, _keys_to_float
 from ark_tpu.ops import watershed as watershed_ops
+
+# Device deep-watershed parameters: 256 claim levels matches the relief
+# resolution the instance tests need (the native kernel's 2^16 buckets are
+# overkill for the [0, 1] inner-distance head). BFS rounds are cheap
+# shifted-min passes (~0.2 ms each at 4x512^2) while one phase-B exact
+# resolution costs ~185 ms in TPU scatter/gather tables — 32 rounds per
+# level keeps phase B at zero invocations on trained-model relief
+# (measured 0.17 s vs 3.7 s at 8 rounds; benchmarks/r3_attach_checks.py).
+_DEVICE_WATERSHED_LEVELS = 256
+_DEVICE_WATERSHED_BFS_ROUNDS = 32
 
 
 @functools.partial(jax.jit, static_argnames=("idxs",))
@@ -162,6 +173,38 @@ class Mesmer:
 
         self._segment_device = jax.jit(_device_step)
 
+        def _device_step_post(v, x, maxima_threshold, interior_threshold,
+                              min_cell_size):
+            # forward + FULL deep-watershed postprocess in one device
+            # program: marker labeling (batched Shiloach-Vishkin CC),
+            # level-synchronous flood, small-object filter. No host compute
+            # and ONE readback per batch, vs the host path's per-FOV
+            # priority-flood threads (66 ms/core per 1024^2 FOV on this
+            # 1-core host).
+            res = _device_step(v, x, maxima_threshold)
+            out = {}
+            done = jnp.bool_(True)
+            for comp in ("whole_cell", "nuclear"):
+                # maxima plateaus are tiny: the scatter-free small-
+                # component labeler; its flag trips the host fallback if a
+                # plateau ever exceeds the propagation radius
+                markers, _, m_done = cc.label_batched_small(
+                    res[comp]["maxima"])
+                fgmask = res[comp]["foreground"] > interior_threshold
+                q = watershed_ops._quantize(-res[comp]["inner"], fgmask,
+                                            _DEVICE_WATERSHED_LEVELS)
+                lab, w_done = watershed_ops._flood(
+                    q, markers, fgmask, _DEVICE_WATERSHED_LEVELS,
+                    _DEVICE_WATERSHED_BFS_ROUNDS)
+                # 16k labels covers any real FOV's marker count; the
+                # in_range flag trips the host fallback beyond it
+                out[comp], a_ok = cc.area_filter_batched(
+                    lab, min_area=min_cell_size, n_max=2 ** 14 - 1)
+                done &= m_done & w_done & a_ok
+            return out, done
+
+        self._segment_device_post = jax.jit(_device_step_post)
+
     def predict_raw(self, batch: np.ndarray) -> Dict[str, np.ndarray]:
         """Run the network on a (B, H, W, 2) batch; returns semantic heads."""
         x = _percentile_normalize(jnp.asarray(batch, jnp.float32))
@@ -199,15 +242,35 @@ class Mesmer:
         return labels
 
     def predict(self, batch: np.ndarray, maxima_threshold: float = 0.1,
-                interior_threshold: float = 0.3,
-                min_cell_size: int = 15) -> Dict[str, np.ndarray]:
+                interior_threshold: float = 0.3, min_cell_size: int = 15,
+                postprocess: str = "host") -> Dict[str, np.ndarray]:
         """Segment a (B, H, W, 2) batch.
+
+        postprocess='host' (default): native C++ priority-flood per FOV in
+        a thread pool. postprocess='device': the whole deep-watershed
+        postprocess fuses into the forward program (`ops/watershed.py`
+        level-synchronous flood) — labelings agree up to equidistant
+        watershed-tie ownership (instance recovery is test-bound equal);
+        preferable when host cores are scarce or batches are large. Falls
+        back to the host flood in the (never-observed, budget-tested) case
+        the device kernel's internal round budget reports non-convergence.
 
         Returns {'whole_cell': (B, H, W) int32 labels,
                  'nuclear': (B, H, W) int32 labels}.
         """
-        dev = self._segment_device(self.variables,
-                                   jnp.asarray(batch, jnp.float32),
+        if postprocess not in ("host", "device"):
+            raise ValueError(f"postprocess must be 'host' or 'device', "
+                             f"got {postprocess!r}")
+        x = jnp.asarray(batch, jnp.float32)
+        if postprocess == "device":
+            out, done = self._segment_device_post(
+                self.variables, x, jnp.float32(maxima_threshold),
+                jnp.float32(interior_threshold), jnp.int32(min_cell_size))
+            if bool(done):
+                return {k: np.asarray(v).astype(np.int32)
+                        for k, v in out.items()}
+            # pragma-style backstop: re-run through the certified host path
+        dev = self._segment_device(self.variables, x,
                                    jnp.float32(maxima_threshold))
         return self._postprocess_device_out(dev, interior_threshold,
                                             min_cell_size)
@@ -222,16 +285,36 @@ def segment_fovs(fov_images: np.ndarray, weights_path: Optional[str] = None,
     async dispatch overlaps device compute with the ~66 ms/FOV host flood —
     the segmentation stage costs ~max(device, host) per batch instead of
     their sum (the reference pays a network round trip per 5-FOV zip here,
-    `deepcell_service_utils.py:95-211`)."""
+    `deepcell_service_utils.py:95-211`).
+
+    predict_kwargs additionally accepts postprocess='device': the flood
+    runs on device fused with the forward (see `Mesmer.predict`), so there
+    is no host stage to overlap and each batch is one program + one
+    readback."""
     app = Mesmer(weights_path=weights_path)
     maxima_threshold = predict_kwargs.pop("maxima_threshold", 0.1)
     interior_threshold = predict_kwargs.pop("interior_threshold", 0.3)
     min_cell_size = predict_kwargs.pop("min_cell_size", 15)
+    postprocess = predict_kwargs.pop("postprocess", "host")
     if predict_kwargs:
         raise TypeError(f"unknown predict kwargs: {sorted(predict_kwargs)}")
 
     if fov_images.shape[0] == 0:
         raise ValueError("segment_fovs needs at least one FOV image")
+    if postprocess == "device":
+        # no host stage to overlap: each batch is one fused
+        # forward+flood program and one labels readback
+        whole, nuc = [], []
+        for i in range(0, fov_images.shape[0], batch_size):
+            out = app.predict(fov_images[i:i + batch_size],
+                              maxima_threshold=maxima_threshold,
+                              interior_threshold=interior_threshold,
+                              min_cell_size=min_cell_size,
+                              postprocess="device")
+            whole.append(out["whole_cell"])
+            nuc.append(out["nuclear"])
+        return {"whole_cell": np.concatenate(whole),
+                "nuclear": np.concatenate(nuc)}
     whole, nuc = [], []
     pending = None
     for i in range(0, fov_images.shape[0], batch_size):

@@ -134,10 +134,52 @@ def bench_cc(size):
             "cc_speedup": round(host_s / dev_s, 2)}
 
 
+def bench_device_watershed(n_fovs=8, size=512):
+    """Fused forward+device-flood postprocess (`postprocess='device'`) vs
+    the host C++ priority-flood thread pool — the whole segmentation stage
+    both ways, same process, on TRAINED-checkpoint relief (synthetic
+    planted cells; ~700 instances per 512² FOV). Random-weight relief is
+    not benchmarked: garbage inner-distance produces ~10k spurious maxima
+    and pathologically tie-heavy plateaus — a regime where the device
+    flood's exact phase-B resolution grinds (and once crashed the relay
+    worker outright, r3 notes) while telling nothing about production
+    throughput."""
+    from ark_tpu.segmentation import mesmer, synthetic
+
+    ckpt = os.path.join(os.path.dirname(mesmer.__file__), "..", "models",
+                        "checkpoints", "mesmer_mini_synthetic.npz")
+    rng = np.random.default_rng(0)
+    fovs = synthetic.synthetic_cells(rng, n_fovs, hw=size)[0]
+    app = mesmer.Mesmer(weights_path=ckpt)
+
+    def run(post):
+        out = []
+        for i in range(0, n_fovs, 4):
+            out.append(app.predict(fovs[i:i + 4], postprocess=post))
+        return out
+
+    run("host")
+    run("device")    # warm both (compiles excluded)
+    host_s = best_of(2, lambda: run("host"))
+    dev_s = best_of(2, lambda: run("device"))
+    h = run("host")
+    d = run("device")
+    agree = np.mean([
+        float((hb["whole_cell"] == db["whole_cell"])
+              [hb["whole_cell"] > 0].mean())
+        for hb, db in zip(h, d)])
+    return {"seg_host_post_s": round(host_s, 3),
+            "seg_device_post_s": round(dev_s, 3),
+            "seg_device_post_speedup": round(host_s / dev_s, 2),
+            "seg_post_pixel_agreement": round(agree, 4),
+            "n_fovs": n_fovs, "fov": size}
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=1024)
-    p.add_argument("--only", choices=["edt", "segment", "cc"], default=None)
+    p.add_argument("--only", choices=["edt", "segment", "cc", "wsdev"],
+                   default=None)
     a = p.parse_args()
     out = {}
     if a.only in (None, "edt"):
@@ -146,4 +188,6 @@ if __name__ == "__main__":
         out.update(bench_segment_fovs())
     if a.only in (None, "cc"):
         out.update(bench_cc(a.size))
+    if a.only in (None, "wsdev"):
+        out.update(bench_device_watershed())
     print(json.dumps(out))
