@@ -294,18 +294,22 @@ def remove_small_objects(mask: jax.Array, min_size: int = 5,
 
 def _neighbor_min_batched(lab: jax.Array, fg: jax.Array, sentinel,
                           connectivity: int) -> jax.Array:
-    """Batched `_neighbor_min`: min of L over each pixel's closed
-    neighborhood, masked to foreground; background keeps the sentinel.
+    """Batched `_neighbor_min` via vmap (pure pad/shift/min code — the
+    module's cond-trap rationale doesn't apply to this helper, so the
+    single-image offset table stays the one source of truth).
     lab, fg: (B, H, W)."""
-    b, h, w = lab.shape
-    pad = jnp.pad(lab, ((0, 0), (1, 1), (1, 1)), constant_values=sentinel)
-    offs = [(0, 1), (2, 1), (1, 0), (1, 2)]
-    if connectivity == 2:
-        offs += [(0, 0), (0, 2), (2, 0), (2, 2)]
-    out = lab
-    for dy, dx in offs:
-        out = jnp.minimum(out, pad[:, dy:dy + h, dx:dx + w])
-    return jnp.where(fg, out, sentinel)
+    return jax.vmap(_neighbor_min, in_axes=(0, 0, None, None))(
+        lab, fg, sentinel, connectivity)
+
+
+def _check_offset_ids(b: int, n: int) -> None:
+    """The batched segment ops flatten (image, label) to 1-D int32 ids
+    label + i*(n+1); guard the static shapes against silent int32 wrap
+    (this module's contract is that every inexact result is FLAGGED)."""
+    if b * (n + 1) > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"batched CC/area ops need b*(H*W+1) <= int32 max; got "
+            f"{b} x {n + 1} — split the batch")
 
 
 def _cc_rounds_batched(fg: jax.Array, lab: jax.Array, connectivity: int,
@@ -317,6 +321,7 @@ def _cc_rounds_batched(fg: jax.Array, lab: jax.Array, connectivity: int,
     (batch row, label)."""
     b, h, w = fg.shape
     n = h * w
+    _check_offset_ids(b, n)
     n_log = _n_log(n)
     sentinel = jnp.int32(n)
     # ALL scatters/gathers below are flattened to 1-D with per-image offset
@@ -439,6 +444,7 @@ def area_filter_batched(labels: jax.Array, min_area: int = 0,
     b, h, w = labels.shape
     n = h * w
     m = n if n_max is None else n_max
+    _check_offset_ids(b, m)
     lab2 = labels.astype(jnp.int32).reshape(b, n)
     in_range = jnp.all(lab2 <= m)
     # 1-D segment_sum with per-image offset ids — a 2-D batched scatter

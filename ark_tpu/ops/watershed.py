@@ -168,6 +168,16 @@ def _resolve_level(lab, rep, q, mask, level):
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "bfs_rounds"))
+def _quantize_and_flood(image, markers, mask, levels: int,
+                        bfs_rounds: int):
+    """The full device watershed as ONE jitted program (quantization
+    included — eagerly it is ~a dozen separate ops, each a ~30 ms
+    dispatch on the remote attach)."""
+    q = _quantize(image.astype(jnp.float32), mask, levels)
+    return _flood(q, markers, mask, levels, bfs_rounds)
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "bfs_rounds"))
 def _flood(q, markers, mask, levels: int, bfs_rounds: int):
     lab0 = jnp.where((markers > 0) & mask, markers.astype(jnp.int32), 0)
     n = lab0.shape[1] * lab0.shape[2]
@@ -221,8 +231,8 @@ def watershed_device(image, markers, mask=None, levels: int = 256,
     markers = jnp.asarray(markers).astype(jnp.int32)
     mask = jnp.ones(image.shape, bool) if mask is None \
         else jnp.asarray(mask).astype(bool)
-    q = _quantize(image.astype(jnp.float32), mask, levels)
-    lab, done = _flood(q, markers, mask, levels, bfs_rounds)
+    lab, done = _quantize_and_flood(image, markers, mask, levels,
+                                    bfs_rounds)
     return (lab[0], done) if single else (lab, done)
 
 

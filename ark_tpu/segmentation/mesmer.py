@@ -263,13 +263,34 @@ class Mesmer:
                              f"got {postprocess!r}")
         x = jnp.asarray(batch, jnp.float32)
         if postprocess == "device":
-            out, done = self._segment_device_post(
-                self.variables, x, jnp.float32(maxima_threshold),
-                jnp.float32(interior_threshold), jnp.int32(min_cell_size))
-            if bool(done):
-                return {k: np.asarray(v).astype(np.int32)
-                        for k, v in out.items()}
-            # pragma-style backstop: re-run through the certified host path
+            return self._finish_device_post(self._dispatch_device_post(
+                x, maxima_threshold, interior_threshold, min_cell_size))
+        dev = self._segment_device(self.variables, x,
+                                   jnp.float32(maxima_threshold))
+        return self._postprocess_device_out(dev, interior_threshold,
+                                            min_cell_size)
+
+    def _dispatch_device_post(self, x, maxima_threshold,
+                              interior_threshold, min_cell_size):
+        """Dispatch (don't await) one fused forward+flood program; the
+        returned pending tuple is finished by `_finish_device_post` —
+        callers may dispatch the next batch in between (async-dispatch
+        double-buffering, like the host path's `pending`)."""
+        out, done = self._segment_device_post(
+            self.variables, x, jnp.float32(maxima_threshold),
+            jnp.float32(interior_threshold), jnp.int32(min_cell_size))
+        return out, done, x, maxima_threshold, interior_threshold, \
+            min_cell_size
+
+    def _finish_device_post(self, pending):
+        """Await a `_dispatch_device_post` result; falls back to the
+        certified host flood in the (never-observed, budget-tested) case
+        any internal round budget reported non-convergence."""
+        out, done, x, maxima_threshold, interior_threshold, \
+            min_cell_size = pending
+        if bool(done):
+            return {k: np.asarray(v).astype(np.int32)
+                    for k, v in out.items()}
         dev = self._segment_device(self.variables, x,
                                    jnp.float32(maxima_threshold))
         return self._postprocess_device_out(dev, interior_threshold,
@@ -302,17 +323,23 @@ def segment_fovs(fov_images: np.ndarray, weights_path: Optional[str] = None,
     if fov_images.shape[0] == 0:
         raise ValueError("segment_fovs needs at least one FOV image")
     if postprocess == "device":
-        # no host stage to overlap: each batch is one fused
-        # forward+flood program and one labels readback
+        # double-buffered like the host path: batch i+1's fused program is
+        # dispatched before batch i's labels are read back, hiding the
+        # ~30 ms/program dispatch+readback latency behind device compute
         whole, nuc = [], []
+        pending = None
         for i in range(0, fov_images.shape[0], batch_size):
-            out = app.predict(fov_images[i:i + batch_size],
-                              maxima_threshold=maxima_threshold,
-                              interior_threshold=interior_threshold,
-                              min_cell_size=min_cell_size,
-                              postprocess="device")
-            whole.append(out["whole_cell"])
-            nuc.append(out["nuclear"])
+            nxt = app._dispatch_device_post(
+                jnp.asarray(fov_images[i:i + batch_size], jnp.float32),
+                maxima_threshold, interior_threshold, min_cell_size)
+            if pending is not None:
+                out = app._finish_device_post(pending)
+                whole.append(out["whole_cell"])
+                nuc.append(out["nuclear"])
+            pending = nxt
+        out = app._finish_device_post(pending)
+        whole.append(out["whole_cell"])
+        nuc.append(out["nuclear"])
         return {"whole_cell": np.concatenate(whole),
                 "nuclear": np.concatenate(nuc)}
     whole, nuc = [], []

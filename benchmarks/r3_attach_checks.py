@@ -137,8 +137,11 @@ def bench_cc(size):
 def bench_device_watershed(n_fovs=8, size=512):
     """Fused forward+device-flood postprocess (`postprocess='device'`) vs
     the host C++ priority-flood thread pool — the whole segmentation stage
-    both ways, same process, on TRAINED-checkpoint relief (synthetic
-    planted cells; ~700 instances per 512² FOV). Random-weight relief is
+    both ways, same process, on TRAINED-checkpoint relief over a DENSE
+    planted cohort (explicit n_cells/crowding below — the synthetic_cells
+    defaults plant only 4-9 cells; the emitted planted/predicted
+    cells-per-FOV fields record what was actually measured).
+    Random-weight relief is
     not benchmarked: garbage inner-distance produces ~10k spurious maxima
     and pathologically tie-heavy plateaus — a regime where the device
     flood's exact phase-B resolution grinds (and once crashed the relay
@@ -149,8 +152,13 @@ def bench_device_watershed(n_fovs=8, size=512):
     ckpt = os.path.join(os.path.dirname(mesmer.__file__), "..", "models",
                         "checkpoints", "mesmer_mini_synthetic.npz")
     rng = np.random.default_rng(0)
-    fovs = synthetic.synthetic_cells(rng, n_fovs, hw=size)[0]
+    # synthetic_cells defaults plant 4-9 cells regardless of hw; force the
+    # dense-tissue regime explicitly (crowded ellipses, most of the frame
+    # covered) so the flood is exercised at production marker counts
+    fovs, truth, _ = synthetic.synthetic_cells(
+        rng, n_fovs, hw=size, n_cells=(250, 300), crowding=0.35)
     app = mesmer.Mesmer(weights_path=ckpt)
+    planted = int(np.mean([(np.unique(t).size - 1) for t in truth]))
 
     def run(post):
         out = []
@@ -168,10 +176,13 @@ def bench_device_watershed(n_fovs=8, size=512):
         float((hb["whole_cell"] == db["whole_cell"])
               [hb["whole_cell"] > 0].mean())
         for hb, db in zip(h, d)])
+    pred = int(np.mean([np.unique(hb["whole_cell"]).size - 1 for hb in h]))
     return {"seg_host_post_s": round(host_s, 3),
             "seg_device_post_s": round(dev_s, 3),
             "seg_device_post_speedup": round(host_s / dev_s, 2),
             "seg_post_pixel_agreement": round(agree, 4),
+            "planted_cells_per_fov": planted,
+            "predicted_cells_per_fov": pred,
             "n_fovs": n_fovs, "fov": size}
 
 
