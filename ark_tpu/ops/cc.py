@@ -302,6 +302,19 @@ def _neighbor_min_batched(lab: jax.Array, fg: jax.Array, sentinel,
         lab, fg, sentinel, connectivity)
 
 
+def _varying_false(x: jax.Array):
+    """A False scalar derived from `x`, so scan/cond carries seeded with it
+    inherit x's shard_map manual-axis varying-ness (constant bool inits
+    fail the carry/branch type checks when convergence flags are computed
+    from sharded data)."""
+    v = x.ravel()[0]
+    return v != v  # integer self-inequality: always False
+
+
+def _varying_true(x: jax.Array):
+    return ~_varying_false(x)
+
+
 def _check_offset_ids(b: int, n: int) -> None:
     """The batched segment ops flatten (image, label) to 1-D int32 ids
     label + i*(n+1); guard the static shapes against silent int32 wrap
@@ -340,7 +353,7 @@ def _cc_rounds_batched(fg: jax.Array, lab: jax.Array, connectivity: int,
             new = jnp.take(flat, (lab2 + offs).ravel()).reshape(b, h, w)
             return new, jnp.all(new == lab)
 
-        lab, done = jax.lax.cond(done, lambda l: (l, jnp.bool_(True)),
+        lab, done = jax.lax.cond(done, lambda l: (l, _varying_true(l)),
                                  active, lab)
         return (lab, done), None
 
@@ -354,16 +367,16 @@ def _cc_rounds_batched(fg: jax.Array, lab: jax.Array, connectivity: int,
                                        num_segments=b * (n + 1))
             new = jnp.where(fg, jnp.take(hook, ids).reshape(b, h, w),
                             sentinel)
-            (new, _), _ = jax.lax.scan(jump, (new, jnp.bool_(False)),
+            (new, _), _ = jax.lax.scan(jump, (new, _varying_false(new)),
                                        None, length=n_log)
             return new, jnp.all(new == lab)
 
-        lab, done = jax.lax.cond(done, lambda l: (l, jnp.bool_(True)),
+        lab, done = jax.lax.cond(done, lambda l: (l, _varying_true(l)),
                                  active, lab)
         return (lab, done), None
 
-    (lab, done), _ = jax.lax.scan(round_, (lab, jnp.bool_(False)), None,
-                                  length=rounds)
+    (lab, done), _ = jax.lax.scan(round_, (lab, _varying_false(lab)),
+                                  None, length=rounds)
     return lab, done
 
 

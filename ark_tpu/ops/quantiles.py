@@ -99,10 +99,12 @@ def masked_order_stats(x: jax.Array, valid: jax.Array,
     traced/dynamic). Returns (C, M) f32 — the rank[c, m]-th smallest valid
     value of column c (garbage where a column has no valid entries)."""
     key = jnp.where(valid, _float_keys(x), jnp.uint32(0xFFFFFFFF))
-    c, m = ranks.shape
     k = ranks.astype(jnp.uint32)
-    lo = jnp.zeros((c, m), jnp.uint32)
-    hi = jnp.full((c, m), 0xFFFFFFFE, jnp.uint32)
+    # derive the loop carries from `ranks` (not fresh constants) so they
+    # inherit any shard_map manual-axis varying-ness — a constant init
+    # fails the fori_loop carry-type check inside shard_map bodies
+    lo = k * jnp.uint32(0)
+    hi = lo + jnp.uint32(0xFFFFFFFE)
 
     def body(_, lh):
         lo, hi = lh

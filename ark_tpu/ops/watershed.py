@@ -49,6 +49,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ark_tpu.ops import cc
+
 
 def watershed(image: np.ndarray, markers: np.ndarray,
               mask: np.ndarray = None) -> np.ndarray:
@@ -143,8 +145,6 @@ def _resolve_level(lab, rep, q, mask, level):
     was last touched — a from-scratch CC per level measured 52 s for a
     4-FOV 512² tie-heavy flood (256 levels × ~40 scatter/gather rounds);
     the incremental forest leaves only the 1-3 genuinely-active rounds."""
-    from ark_tpu.ops import cc
-
     b, h, w = lab.shape
     n = h * w
     conductive = mask & (q <= level)
@@ -181,7 +181,7 @@ def _quantize_and_flood(image, markers, mask, levels: int,
 def _flood(q, markers, mask, levels: int, bfs_rounds: int):
     lab0 = jnp.where((markers > 0) & mask, markers.astype(jnp.int32), 0)
     n = lab0.shape[1] * lab0.shape[2]
-    rep0 = jnp.full(lab0.shape, n, jnp.int32)
+    rep0 = lab0 * 0 + jnp.int32(n)    # full_like, but varying like lab0
 
     def level_body(carry, level):
         lab, rep = carry
@@ -193,14 +193,15 @@ def _flood(q, markers, mask, levels: int, bfs_rounds: int):
                 new = _claim_round(lab, q, mask, level)
                 return new, jnp.all(new == lab)
 
-            lab, done = jax.lax.cond(done, lambda l: (l, jnp.bool_(True)),
-                                     active, lab)
+            lab, done = jax.lax.cond(
+                done, lambda l: (l, cc._varying_true(l)), active, lab)
             return (lab, done), None
 
-        (lab, a_done), _ = jax.lax.scan(bfs_round, (lab, jnp.bool_(False)),
+        (lab, a_done), _ = jax.lax.scan(bfs_round,
+                                        (lab, cc._varying_false(lab)),
                                         None, length=bfs_rounds)
         lab, rep, sv_done = jax.lax.cond(
-            a_done, lambda a: (a[0], a[1], jnp.bool_(True)),
+            a_done, lambda a: (a[0], a[1], cc._varying_true(a[0])),
             lambda a: _resolve_level(a[0], a[1], q, mask, level),
             (lab, rep))
         return (lab, rep), sv_done

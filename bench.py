@@ -7,7 +7,11 @@ The same line also carries the other three north-star metrics
 (BASELINE.json): `mesmer_fovs_per_s` (1024² FOVs through the PanopticNet
 forward), `permutations_per_s` (spatial-enrichment bootstrap), and
 `cohort_seconds` (full 10x1024²x16 pipeline), measured by
-benchmarks/cohort_benchmark.py in-process.
+benchmarks/cohort_benchmark.py in-process, plus
+`segmentation_e2e_fovs_per_s` (trained-checkpoint forward + device
+deep-watershed postprocess to int32 instance masks, dense planted 512²
+cohort — the images-to-masks number, where the reference pays a DeepCell
+REST round trip).
 
 vs_baseline = speedup over a multithreaded-BLAS numpy implementation of the
 same BMU search measured on this host's CPU (a *stronger* baseline than the
@@ -118,6 +122,48 @@ def _bench_cohort():
     }
 
 
+def _bench_segmentation_e2e(n_fovs=8, size=512):
+    """End-to-end instance segmentation throughput: trained-checkpoint
+    forward + DEVICE deep-watershed postprocess + labels readback
+    (`Mesmer.predict(postprocess='device')`, double-buffered batches).
+    `mesmer_fovs_per_s` measures the forward alone; this is the number a
+    user gets from FOV images to int32 instance masks. Dense planted
+    cohort (~165 cells / 512² FOV — synthetic_cells defaults would plant
+    only 4-9); the reference's equivalent is a DeepCell REST round trip
+    measured in minutes per 5-FOV zip (deepcell_service_utils.py:95-211)."""
+    import os
+
+    from ark_tpu.segmentation import mesmer, synthetic
+
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "ark_tpu", "models", "checkpoints",
+                        "mesmer_mini_synthetic.npz")
+    rng = np.random.default_rng(0)
+    fovs = synthetic.synthetic_cells(rng, n_fovs, hw=size,
+                                     n_cells=(250, 300), crowding=0.35)[0]
+    app = mesmer.Mesmer(weights_path=ckpt)
+
+    def run_batches(eps):
+        x = fovs * (1.0 + eps)
+        pending, outs = None, []
+        for i in range(0, n_fovs, 4):
+            nxt = app._dispatch_device_post(x[i:i + 4], 0.1, 0.3, 15)
+            if pending is not None:
+                outs.append(app._finish_device_post(pending))
+            pending = nxt
+        outs.append(app._finish_device_post(pending))
+        return outs
+
+    run_batches(0.0)                    # warm (compiles cached on disk)
+    best = float("inf")
+    for t in range(2):
+        t0 = time.perf_counter()
+        run_batches(1e-4 * (t + 1))     # anti-replay: distinct inputs
+        best = min(best, time.perf_counter() - t0)
+    return {"segmentation_e2e_fovs_per_s": round(n_fovs / best, 1),
+            "segmentation_e2e_fov_size": size}
+
+
 def main():
     import os
 
@@ -143,6 +189,10 @@ def main():
         extra = _bench_cohort()
     except Exception as e:  # the headline metric must still be reported
         extra = {"cohort_error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        extra.update(_bench_segmentation_e2e())
+    except Exception as e:
+        extra["segmentation_e2e_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({
         "metric": "som_bmu_map_throughput",
         "value": round(tpu_mpix, 1),
