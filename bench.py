@@ -164,10 +164,38 @@ def _bench_segmentation_e2e(n_fovs=8, size=512):
             "segmentation_e2e_fov_size": size}
 
 
+def _probe_attach(timeout_s: int = 120) -> str:
+    """The axon attach has an observed outage mode where even
+    `jax.devices()` hangs forever (CLAUDE.md r3). A hung bench leaves the
+    driver with NO artifact; probe device enumeration in a subprocess with
+    a hard timeout so an outage degrades to an explicit error line
+    instead."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True)
+        if r.returncode != 0:
+            return f"device probe failed: {r.stderr.strip()[-200:]}"
+    except subprocess.TimeoutExpired:
+        return f"device probe hung >{timeout_s}s (attach outage mode)"
+    return ""
+
+
 def main():
     import os
 
     import jax
+
+    err = _probe_attach()
+    if err:
+        print(json.dumps({
+            "metric": "som_bmu_map_throughput", "value": 0.0,
+            "unit": "Mpixels/s", "vs_baseline": 0.0,
+            "error": err}))
+        print(f"[bench] ABORTED: {err}", file=sys.stderr)
+        return
 
     # Persistent compilation cache (verified working on the axon attach:
     # a fresh process re-runs a cached program in 0.02 s vs a 1 s remote
