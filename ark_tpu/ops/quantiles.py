@@ -100,11 +100,15 @@ def masked_order_stats(x: jax.Array, valid: jax.Array,
     value of column c (garbage where a column has no valid entries)."""
     key = jnp.where(valid, _float_keys(x), jnp.uint32(0xFFFFFFFF))
     k = ranks.astype(jnp.uint32)
-    # derive the loop carries from `ranks` (not fresh constants) so they
-    # inherit any shard_map manual-axis varying-ness — a constant init
-    # fails the fori_loop carry-type check inside shard_map bodies
-    lo = k * jnp.uint32(0)
-    hi = lo + jnp.uint32(0xFFFFFFFE)
+    # derive the loop carries from BOTH `ranks` and the data (not fresh
+    # constants) so they inherit any shard_map manual-axis varying-ness —
+    # the loop body's counts depend on `x`, and a carry init with weaker
+    # varying-ness than the body output fails the fori_loop carry-type
+    # check inside shard_map bodies (either operand alone can be an
+    # unvarying constant, e.g. a `jnp.ones` mask built inside the shard)
+    zero = (k * jnp.uint32(0)) + (key.ravel()[0] * jnp.uint32(0))
+    lo = zero
+    hi = zero + jnp.uint32(0xFFFFFFFE)
 
     def body(_, lh):
         lo, hi = lh

@@ -180,6 +180,10 @@ def _quantize_and_flood(image, markers, mask, levels: int,
 @functools.partial(jax.jit, static_argnames=("levels", "bfs_rounds"))
 def _flood(q, markers, mask, levels: int, bfs_rounds: int):
     lab0 = jnp.where((markers > 0) & mask, markers.astype(jnp.int32), 0)
+    # mix q's shard_map varying-ness into the scan carries: markers/mask
+    # may be unvarying constants built inside a shard while the claim
+    # rounds (functions of q) are varying (see quantiles.masked_order_stats)
+    lab0 = lab0 + q * jnp.int32(0)
     n = lab0.shape[1] * lab0.shape[2]
     rep0 = lab0 * 0 + jnp.int32(n)    # full_like, but varying like lab0
 
