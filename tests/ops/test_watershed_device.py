@@ -209,6 +209,22 @@ def test_np_wrapper_native_fallback(rng, monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+def test_non_square_and_odd_shapes(rng):
+    """Rectangular and odd-sized images (the flood has no squareness
+    assumption; the Pallas band gate requires W % 128 == 0 but the XLA
+    path must cover everything)."""
+    for h, w in ((24, 40), (17, 23)):
+        elev = rng.random((h, w)).astype(np.float32)
+        markers = np.zeros((h, w), np.int32)
+        markers[h // 3, w // 3] = 1
+        markers[2 * h // 3, 2 * w // 3] = 2
+        ref = W.watershed(elev, markers)
+        got, done = W.watershed_device(elev, markers)
+        assert bool(done)
+        np.testing.assert_array_equal(np.asarray(got) > 0, ref > 0)
+        assert set(np.unique(np.asarray(got))) == {1, 2}
+
+
 def test_pallas_claim_round_equivalence(rng, monkeypatch):
     """The banded Pallas claim kernel (interpret mode) must be bit-equal
     to the XLA claim round on the mask-encoded labels, including band
