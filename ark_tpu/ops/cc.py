@@ -306,9 +306,11 @@ def _varying_false(x: jax.Array):
     """A False scalar derived from `x`, so scan/cond carries seeded with it
     inherit x's shard_map manual-axis varying-ness (constant bool inits
     fail the carry/branch type checks when convergence flags are computed
-    from sharded data)."""
-    v = x.ravel()[0]
-    return v != v  # integer self-inequality: always False
+    from sharded data). The int32 cast makes the self-inequality safe for
+    ANY dtype: a float NaN at flat index 0 would make `v != v` True and
+    silently skip every active round."""
+    v = x.ravel()[0].astype(jnp.int32)
+    return v != v
 
 
 def _varying_true(x: jax.Array):

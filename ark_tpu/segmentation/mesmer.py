@@ -298,7 +298,8 @@ class Mesmer:
 
 
 def segment_fovs(fov_images: np.ndarray, weights_path: Optional[str] = None,
-                 batch_size: int = 4, **predict_kwargs) -> Dict[str, np.ndarray]:
+                 batch_size: int = 4, app: Optional["Mesmer"] = None,
+                 **predict_kwargs) -> Dict[str, np.ndarray]:
     """Segment a stack of (N, H, W, 2) FOV images in device batches.
 
     Double-buffered (VERDICT r2 weak #2): batch i+1's device program is
@@ -311,8 +312,13 @@ def segment_fovs(fov_images: np.ndarray, weights_path: Optional[str] = None,
     predict_kwargs additionally accepts postprocess='device': the flood
     runs on device fused with the forward (see `Mesmer.predict`), so there
     is no host stage to overlap and each batch is one program + one
-    readback."""
-    app = Mesmer(weights_path=weights_path)
+    readback.
+
+    Pass `app=` to reuse an existing Mesmer (keeps its jit caches warm
+    across calls — a fresh instance per call retraces every program);
+    `weights_path` is ignored when `app` is given."""
+    if app is None:
+        app = Mesmer(weights_path=weights_path)
     maxima_threshold = predict_kwargs.pop("maxima_threshold", 0.1)
     interior_threshold = predict_kwargs.pop("interior_threshold", 0.3)
     min_cell_size = predict_kwargs.pop("min_cell_size", 15)

@@ -143,22 +143,15 @@ def _bench_segmentation_e2e(n_fovs=8, size=512):
                                      n_cells=(250, 300), crowding=0.35)[0]
     app = mesmer.Mesmer(weights_path=ckpt)
 
-    def run_batches(eps):
-        x = fovs * (1.0 + eps)
-        pending, outs = None, []
-        for i in range(0, n_fovs, 4):
-            nxt = app._dispatch_device_post(x[i:i + 4], 0.1, 0.3, 15)
-            if pending is not None:
-                outs.append(app._finish_device_post(pending))
-            pending = nxt
-        outs.append(app._finish_device_post(pending))
-        return outs
-
-    run_batches(0.0)                    # warm (compiles cached on disk)
+    mesmer.segment_fovs(fovs, app=app, postprocess="device")  # warm
+    # anti-replay variants materialized OUTSIDE the timed window (the
+    # host multiply on this 1-core box is tens of ms — the CLAUDE.md
+    # h2d-measurement trap); best-of-3 per the attach variance protocol
+    variants = [fovs * (1.0 + 1e-4 * (t + 1)) for t in range(3)]
     best = float("inf")
-    for t in range(2):
+    for x in variants:
         t0 = time.perf_counter()
-        run_batches(1e-4 * (t + 1))     # anti-replay: distinct inputs
+        mesmer.segment_fovs(x, app=app, postprocess="device")
         best = min(best, time.perf_counter() - t0)
     return {"segmentation_e2e_fovs_per_s": round(n_fovs / best, 1),
             "segmentation_e2e_fov_size": size}
