@@ -135,6 +135,28 @@ def test_create_deepcell_output_validation_and_resume(tmp_path, capsys):
     assert "All FOVs already segmented" in capsys.readouterr().out
 
 
+def test_create_deepcell_output_device_postprocess(tmp_path):
+    """The compat driver forwards predict kwargs: postprocess='device'
+    runs the fused device flood and writes masks matching a direct
+    Mesmer.predict on the same inputs."""
+    from ark_tpu.segmentation import synthetic
+    from ark_tpu.segmentation.mesmer import Mesmer
+
+    fovs = ["f0", "f1"]
+    input_dir, _ = _write_inputs(tmp_path, fovs, hw=32)
+    out_dir = str(tmp_path / "masks_dev")
+    dsu.create_deepcell_output(input_dir, out_dir, fovs=fovs,
+                               weights_path=CKPT, postprocess="device")
+    # _write_inputs' generator is deterministic: rebuild the same images
+    imgs = synthetic.synthetic_cells(np.random.default_rng(11),
+                                     len(fovs), hw=32)[0]
+    app = Mesmer(weights_path=CKPT)
+    want = app.predict(imgs.astype(np.float32), postprocess="device")
+    for i, fov in enumerate(fovs):
+        got = read_image(os.path.join(out_dir, fov + "_whole_cell.tiff"))
+        np.testing.assert_array_equal(got, want["whole_cell"][i])
+
+
 def test_generate_input_does_not_overflow_integer_channels(tmp_path):
     """Three ~30k-count uint16 membrane channels sum to 90k: the input
     TIFF must carry 90k (promoted dtype + warning), not a wrapped value."""
