@@ -209,6 +209,43 @@ def test_np_wrapper_native_fallback(rng, monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+def test_device_labels_are_minimax_optimal(rng):
+    """Stronger than host agreement: EVERY flooded pixel's device label
+    must achieve the minimum minimax claim level over all markers (the
+    watershed optimality property), verified against the in-test Dijkstra
+    oracle on the device's own quantization. Catches systematic flood
+    errors that host comparison could miss (both kernels sharing a bug
+    would still fail this independent optimality check)."""
+    levels = 64
+    for trial in range(3):
+        h, w = 24, 24
+        import scipy.ndimage as ndi
+        elev = ndi.gaussian_filter(rng.random((h, w)),
+                                   1.5).astype(np.float32)
+        mask = elev < np.quantile(elev, 0.85)
+        markers = np.zeros((h, w), np.int32)
+        placed = 0
+        while placed < 4:
+            y, x = rng.integers(0, h, 2)
+            if mask[y, x] and markers[y, x] == 0:
+                placed += 1
+                markers[y, x] = placed
+        got, done = W.watershed_device(elev, markers, mask, levels=levels,
+                                       bfs_rounds=4)
+        assert bool(done)
+        got = np.asarray(got)
+        q = np.asarray(W._quantize(jnp.asarray(elev[None], jnp.float32),
+                                   jnp.asarray(mask[None]), levels))[0]
+        claims = _minimax_claim_levels(q, mask, markers)
+        best = np.min(np.stack([claims[lab] for lab in sorted(claims)]),
+                      axis=0)
+        for y, x in zip(*np.where(got > 0)):
+            assert claims[got[y, x]][y, x] == best[y, x], \
+                f"trial {trial} ({y},{x}): label {got[y, x]} suboptimal"
+        # and coverage: flooded exactly where some marker reaches
+        np.testing.assert_array_equal(got > 0, (best < 10 ** 9) & mask)
+
+
 def test_non_square_and_odd_shapes(rng):
     """Rectangular and odd-sized images (the flood has no squareness
     assumption; the Pallas band gate requires W % 128 == 0 but the XLA
