@@ -162,6 +162,7 @@ def _claim_round(lab, q, mask, level):
 def _claim_band_kernel(level_ref, lab_ref, halo_ref, q_ref, qhalo_ref,
                        out_ref, chg_ref):
     import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     level = level_ref[0]
     sent = _LAB_SENTINEL
@@ -177,7 +178,6 @@ def _claim_band_kernel(level_ref, lab_ref, halo_ref, q_ref, qhalo_ref,
     # lane shifts via pltpu.roll + iota-masked edges: Mosaic cannot lower
     # a lane-dimension concatenate ("offset mismatch on non-concat
     # dimension"); sublane (row) concat above is fine
-    from jax.experimental.pallas import tpu as pltpu
     col = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
     w = center.shape[1]
     left = jnp.where(col == 0, sent, pltpu.roll(center, 1, 1))
@@ -202,16 +202,16 @@ def _band_height(h: int, w: int) -> int:
     return bh if h % bh == 0 else 0
 
 
-def _q_halos(q, bh):
-    """Band-neighbor rows of a (B, H, W) field: (B, nb, 2, W) where
-    [:, j, 0] is the row above band j and [:, j, 1] the row below (zeros
-    at the global edges — label 0 is never a source, so a zero halo is
-    the correct 'no neighbor')."""
-    b, h, w = q.shape
+def _band_halos(field, bh):
+    """Band-neighbor rows of a (B, H, W) int field (labels or levels):
+    (B, nb, 2, W) where [:, j, 0] is the row above band j and [:, j, 1]
+    the row below — zeros at the global edges (label 0 is never a source
+    and level 0 never gates one, so a zero halo is 'no neighbor')."""
+    b, h, w = field.shape
     nb = h // bh
     zrow = jnp.zeros((b, 1, w), jnp.int32)
-    up = jnp.concatenate([zrow, q[:, bh - 1::bh][:, :nb - 1]], axis=1)
-    down = jnp.concatenate([q[:, bh::bh], zrow], axis=1)
+    up = jnp.concatenate([zrow, field[:, bh - 1::bh][:, :nb - 1]], axis=1)
+    down = jnp.concatenate([field[:, bh::bh], zrow], axis=1)
     return jnp.stack([up, down], axis=2)
 
 
@@ -223,7 +223,7 @@ def _claim_round_pallas(lab, q, qhalo, level, bh):
 
     b, h, w = lab.shape
     nb = h // bh
-    halo = _q_halos(lab, bh)
+    halo = _band_halos(lab, bh)
 
     out, chg = pl.pallas_call(
         _claim_band_kernel,
@@ -318,7 +318,7 @@ def _flood(q, markers, mask, levels: int, bfs_rounds: int):
         # `_resolve_level` (phase B) works unchanged on the encoding —
         # conductive excludes ~mask, and its claims require lab == 0
         lab0 = jnp.where(mask, lab0, jnp.int32(-1))
-        qhalo = _q_halos(q, bh)
+        qhalo = _band_halos(q, bh)
     # mix q's shard_map varying-ness into the scan carries: markers/mask
     # may be unvarying constants built inside a shard while the claim
     # rounds (functions of q) are varying (see quantiles.masked_order_stats)

@@ -272,7 +272,7 @@ def test_pallas_claim_round_equivalence(rng, monkeypatch):
     mask = rng.random((b, h, w)) < 0.8
     q = rng.integers(0, 16, (b, h, w)).astype(np.int32)
     enc = np.where(~mask, -1, lab).astype(np.int32)
-    qhalo = W._q_halos(jnp.asarray(q), bh)
+    qhalo = W._band_halos(jnp.asarray(q), bh)
     for level in (0, 7, 15):
         new_p, chg = W._claim_round_pallas(
             jnp.asarray(enc), jnp.asarray(q), qhalo, jnp.int32(level), bh)
