@@ -50,6 +50,26 @@ _WORKER = textwrap.dedent("""
     total = float(np.asarray(jax.device_get(out.addressable_shards[0].data))[0, 0])
     assert total == 3.0, total   # 1 + 2 across hosts
     print("proc%d psum OK" % pid, flush=True)
+
+    # one REAL sharded SOM train step over the 2-process mesh (the
+    # collective-heavy op, SURVEY.md 2.5(c)): each process contributes its
+    # half of the batch; the psum'd update must equal the single-process
+    # reference (checked by the parent against its own 1-device-mesh run)
+    from ark_tpu.ops import som
+
+    rng = np.random.default_rng(7)
+    data = rng.random((64, 8)).astype(np.float32)
+    w0 = rng.random((100, 8)).astype(np.float32)
+    gdist = np.asarray(som.grid_distances(10, 10))
+    local_rows = jnp.asarray(data[pid * 32:(pid + 1) * 32])
+    xp = jax.make_array_from_single_device_arrays(
+        (64, 8), NamedSharding(mesh, P("fov")),
+        [jax.device_put(local_rows, d) for d in jax.local_devices()])
+    step = som.make_sharded_train_step(mesh, data_axis="fov")
+    w1 = step(jnp.asarray(w0), xp, jnp.float32(0.05), jnp.float32(2.0),
+              jnp.asarray(gdist))
+    checksum = float(jnp.sum(jnp.abs(w1)))
+    print("proc%d som |W1|=%.6f" % (pid, checksum), flush=True)
     jax.distributed.shutdown()
 """)
 
@@ -80,6 +100,35 @@ def test_two_process_distributed_psum(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out}"
         assert f"proc{pid} psum OK" in out
+
+    # cross-host SOM step must match a single-process reference: same
+    # data/weights through the same sharded-step math on a 1-device mesh
+    # (psum over one shard is the identity, so only the DCN all-reduce
+    # differs) — and both processes must agree bitwise with each other
+    import re
+
+    import numpy as np
+    from jax.sharding import Mesh
+    import jax
+    import jax.numpy as jnp
+
+    from ark_tpu.ops import som
+
+    sums = [float(re.search(rf"proc{pid} som \|W1\|=([0-9.]+)",
+                            out).group(1))
+            for pid, out in enumerate(outs)]
+    assert sums[0] == sums[1], sums   # replicated output, same readout
+
+    rng = np.random.default_rng(7)
+    data = rng.random((64, 8)).astype(np.float32)
+    w0 = rng.random((100, 8)).astype(np.float32)
+    gdist = np.asarray(som.grid_distances(10, 10))
+    mesh1 = Mesh(np.array(jax.devices("cpu")[:1]), ("fov",))
+    step = som.make_sharded_train_step(mesh1, data_axis="fov")
+    w1 = step(jnp.asarray(w0), jnp.asarray(data), jnp.float32(0.05),
+              jnp.float32(2.0), jnp.asarray(gdist))
+    want = float(jnp.sum(jnp.abs(w1)))
+    assert abs(sums[0] - want) < 1e-3 * max(want, 1.0), (sums[0], want)
 
 
 def test_initialize_multihost_surfaces_real_errors(monkeypatch):
