@@ -98,8 +98,16 @@ def _fiber_device_program(img: jax.Array, ridge_cutoff, *, blur, th, tw,
 
 
 def _fiber_steps(fiber_channel_data, fov_len, blur, contrast_scaling_divisor,
-                 fiber_widths, ridge_cutoff, sobel_blur, min_fiber_size):
-    """Run the step chain; returns dict of intermediates + final labels."""
+                 fiber_widths, ridge_cutoff, sobel_blur, min_fiber_size,
+                 keep_intermediates=True):
+    """Run the step chain; returns dict of intermediates + final labels.
+
+    keep_intermediates=False skips the device->host readback of the
+    blurred/contrast/ridge images (only the debug/plot paths consume
+    them — the production cohort loop was paying ~4 full-FOV transfers
+    per FOV over the ~1.6 GB/s attach for nothing); the EDT and
+    elevation maps are always read back (the host otsu/watershed stages
+    need them)."""
     h, w = np.asarray(fiber_channel_data).shape
     th, tw, n_tr, n_tc = classical._clahe_geometry(
         h, w, fov_len / contrast_scaling_divisor)
@@ -133,13 +141,16 @@ def _fiber_steps(fiber_channel_data, fov_len, blur, contrast_scaling_divisor,
     labeled, _ = cc.label_np(segmentation)  # device CC (scipy-exact ids)
     labeled_filtered = morphology.remove_small_objects(
         labeled, min_size=min_fiber_size) * segmentation
-    return {"blurred": np.asarray(dev["blurred"]),
-            "contrast_adjusted": np.asarray(dev["contrast_adjusted"],
-                                            np.float64),
-            "ridges": np.asarray(dev["ridges"]),
-            "distance_transformed": distance_transformed,
-            "threshed": threshed, "elevation_map": elevation_map,
-            "labeled_filtered": labeled_filtered.astype(np.int32)}
+    steps = {"distance_transformed": distance_transformed,
+             "threshed": threshed, "elevation_map": elevation_map,
+             "labeled_filtered": labeled_filtered.astype(np.int32)}
+    if keep_intermediates:
+        steps.update(
+            blurred=np.asarray(dev["blurred"]),
+            contrast_adjusted=np.asarray(dev["contrast_adjusted"],
+                                         np.float64),
+            ridges=np.asarray(dev["ridges"]))
+    return steps
 
 
 def plot_fiber_segmentation_steps(data_dir, fov_name, fiber_channel,
@@ -188,7 +199,8 @@ def segment_fibers(data_xr, fiber_channel, out_dir, fov, blur=2,
 
     steps = _fiber_steps(fiber_channel_data, fov_len, blur,
                          contrast_scaling_divisor, fiber_widths, ridge_cutoff,
-                         sobel_blur, min_fiber_size)
+                         sobel_blur, min_fiber_size,
+                         keep_intermediates=debug)
     labeled_filtered = steps["labeled_filtered"]
 
     if debug:
