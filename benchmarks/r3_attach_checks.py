@@ -186,10 +186,53 @@ def bench_device_watershed(n_fovs=8, size=512):
             "n_fovs": n_fovs, "fov": size}
 
 
+def bench_template1(n_fovs=4, size=256, tmp_root="/tmp/ark_tmpl1"):
+    """Template 1 (segment -> quantify, the notebook-1 user flow) end-to-end
+    ON THE ATTACH: synthetic cohort on disk, create_deepcell_output with the
+    device postprocess, generate_cell_table. The executed-notebook suite
+    forces CPU; this is the real-hardware counterpart (r2 ran template 2
+    on hardware; this covers the segmentation flow)."""
+    import importlib
+    import shutil
+
+    from ark_tpu.io.image_utils import save_image
+    from ark_tpu.segmentation import mesmer, synthetic
+
+    ckpt = os.path.join(os.path.dirname(mesmer.__file__), "..", "models",
+                        "checkpoints", "mesmer_mini_synthetic.npz")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    rng = np.random.default_rng(12345)
+    imgs, cells, _ = synthetic.synthetic_cells(rng, n_fovs, hw=size,
+                                               n_cells=(40, 60),
+                                               crowding=0.35)
+    for i in range(n_fovs):
+        fdir = os.path.join(tmp_root, "image_data", f"fov{i}")
+        os.makedirs(fdir)
+        save_image(os.path.join(fdir, "nuc.tiff"), imgs[i, :, :, 0])
+        save_image(os.path.join(fdir, "mem.tiff"), imgs[i, :, :, 1])
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "templates"))
+    t1 = importlib.import_module("1_segment_image_data")
+    t0 = time.perf_counter()
+    t1.main(tmp_root, ["nuc"], ["mem"], weights_path=ckpt)
+    wall = time.perf_counter() - t0
+    import pandas as pd
+    ct = pd.read_csv(os.path.join(tmp_root, "segmentation", "cell_table",
+                                  "cell_table_size_normalized.csv"))
+    planted = sum(int(c.max()) for c in cells)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return {"template1_wall_s": round(wall, 2),
+            "template1_cells": int(len(ct)),
+            "template1_planted": planted,
+            "template1_fovs": n_fovs, "template1_fov_size": size}
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=1024)
-    p.add_argument("--only", choices=["edt", "segment", "cc", "wsdev"],
+    p.add_argument("--only", choices=["edt", "segment", "cc", "wsdev",
+                                      "tmpl1"],
                    default=None)
     a = p.parse_args()
     out = {}
@@ -201,4 +244,6 @@ if __name__ == "__main__":
         out.update(bench_cc(a.size))
     if a.only in (None, "wsdev"):
         out.update(bench_device_watershed())
+    if a.only == "tmpl1":        # opt-in: writes a tmp cohort to disk
+        out.update(bench_template1())
     print(json.dumps(out))
