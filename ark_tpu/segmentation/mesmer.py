@@ -254,6 +254,11 @@ class Mesmer:
         preferable when host cores are scarce or batches are large. Falls
         back to the host flood in the (never-observed, budget-tested) case
         the device kernel's internal round budget reports non-convergence.
+        NOTE: use the device path with TRAINED weights — a random-init
+        model emits garbage relief with ~10k spurious maxima per FOV,
+        a pathological tie-heavy regime where the level-synchronous
+        flood's exact resolution grinds (tens of seconds per batch;
+        PERF.md) while the host flood degrades gracefully.
 
         Returns {'whole_cell': (B, H, W) int32 labels,
                  'nuclear': (B, H, W) int32 labels}.
