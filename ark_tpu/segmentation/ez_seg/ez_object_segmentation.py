@@ -6,7 +6,8 @@ Capability parity with reference
 percentile or local-adaptive threshold (block size from μm/pixel) →
 remove-small-holes → optional Meijering ridge filter → connected-component
 labeling → area filtering. Blur/ridge/threshold ops run on device
-(ark_tpu.ops.classical); labeling is the device CC kernel (ops/cc.py)."""
+(ark_tpu.ops.classical); labeling/area filtering are host scipy+bincount
+(a single-image device CC round trip costs ~50x scipy on the attach)."""
 
 from __future__ import annotations
 
@@ -19,7 +20,7 @@ import numpy as np
 from ark_tpu.io import io_utils, load_utils
 from ark_tpu.io.image_utils import save_image
 from ark_tpu.io.misc_utils import verify_in_list
-from ark_tpu.ops import cc, classical, image_filters, morphology
+from ark_tpu.ops import classical, image_filters, morphology
 from ark_tpu.segmentation.ez_seg.ez_seg_utils import log_creator
 
 
@@ -114,12 +115,15 @@ def _create_object_mask(input_image, object_shape_type="blob", sigma: int = 1,
         img2mask_filtered = img2mask_rm_holes
 
     binary = np.asarray(img2mask_filtered) > 0
-    # 8-connected device labeling (flag-checked) + device area filter —
-    # surviving objects keep their ids (reference uses skimage map_array)
-    labeled, _ = cc.label_checked(binary, connectivity=2)
-    # np.array: callers mutate the returned mask in place (masking_utils)
-    return np.array(cc.area_filter(labeled, min_area=min_object_area,
-                                   max_area=max_object_area))
+    # 8-connected host labeling + bincount area filter — surviving objects
+    # keep their ids (reference uses skimage map_array). Host scipy, not
+    # the device CC kernel: this mask is host-resident and a single-image
+    # device round trip measured ~50x slower than scipy on the attach
+    # (PERF.md r3 corrections); numbering is identical either way
+    import scipy.ndimage as ndi
+    labeled, _ = ndi.label(binary, structure=np.ones((3, 3)))
+    return morphology.area_filter_np(labeled, min_area=min_object_area,
+                                     max_area=max_object_area)
 
 
 def get_block_size(block_type: str, fov_dim: int, img_shape: int) -> int:

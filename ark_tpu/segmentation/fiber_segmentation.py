@@ -10,10 +10,11 @@ Pipeline per FOV (reference steps :324-356): Gaussian blur → CLAHE → Frangi
 ridge filter → EDT of thresholded ridges → multi-Otsu 3-class markers →
 Sobel elevation → watershed → small-object removal. The whole device side
 (blur/CLAHE/Frangi/EDT/Sobel) runs as ONE fused jitted program
-(`_fiber_device_program`; exact EDT in `ops/edt.py`), the post-watershed
-connected-component labeling is the device CC kernel (`ops/cc.py`), and
-the watershed flood is the native C++ kernel — two device dispatches per
-FOV plus the host multi-Otsu DP and flood."""
+(`_fiber_device_program`; exact EDT in `ops/edt.py`) — one device dispatch
+per FOV; the multi-Otsu DP, the native C++ priority-flood, and the
+post-watershed scipy labeling stay on host (a device CC round trip for a
+single host-resident mask costs ~50× scipy on the attach; the device CC
+kernels serve batched/fused contexts — PERF.md r3 corrections)."""
 
 from __future__ import annotations
 
@@ -26,13 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
+import scipy.ndimage as ndi
 from tqdm import tqdm
 
 from ark_tpu import settings
 from ark_tpu.io import io_utils, load_utils
 from ark_tpu.io.image_utils import read_image, save_image
 from ark_tpu.io.misc_utils import verify_in_list
-from ark_tpu.ops import cc
 from ark_tpu.ops import classical, distances as dist_ops, edt as edt_ops
 from ark_tpu.ops import image_filters
 from ark_tpu.ops import morphology, segment_reduce
@@ -138,7 +139,11 @@ def _fiber_steps(fiber_channel_data, fov_len, blur, contrast_scaling_divisor,
     segmentation = np.maximum(
         watershed_ops.watershed(elevation_map, threshed.astype(np.int32)) - 1,
         0)
-    labeled, _ = cc.label_np(segmentation)  # device CC (scipy-exact ids)
+    # host scipy labeling: `segmentation` is already host-resident (post
+    # host-watershed), and a device round trip for CC measured 0.27 s vs
+    # 5 ms at 1024² on the attach (PERF.md r3 corrections); numbering is
+    # identical either way (ops/cc.py is scipy-exact by construction)
+    labeled, _ = ndi.label(segmentation)
     labeled_filtered = morphology.remove_small_objects(
         labeled, min_size=min_fiber_size) * segmentation
     steps = {"distance_transformed": distance_transformed,

@@ -25,6 +25,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 
+
+def _sync(x):
+    """Real execution barrier for this attach: jax.block_until_ready
+    returns BEFORE remote execution completes on the axon relay (measured
+    0.06 s 'blocked' vs seconds of outstanding work revealed by the next
+    readback — see CLAUDE.md measurement traps). The only trustworthy
+    barrier is reading back a VALUE derived from every output; a scalar
+    sum keeps the transfer to 4 bytes (the extra device-side reduce reads
+    each output once — ms-scale, and honestly part of finishing a stage).
+    """
+    import jax
+    import jax.numpy as jnp
+    leaves = [l for l in jax.tree_util.tree_leaves(x) if hasattr(l, "dtype")]
+    total = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+    np.asarray(total)
+    return x
+
 def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42,
          emit=True, verbose=True):
     """Run the cohort pipeline benchmark; returns the result dict.
@@ -45,15 +62,13 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42,
 
     # ---- measure this attach's host->device bandwidth with one FOV
     host_fov = rng.random((size, size, channels), dtype=np.float32)
-    dev = jax.device_put(host_fov)
-    jax.block_until_ready(dev)
+    dev = _sync(jax.device_put(host_fov))
     # the perturbed copy only exists to defeat relay replay — materialize
     # it BEFORE the timed window (a 67 MB host multiply costs tens of ms
     # on a 1-core host and would inflate the measured transfer time)
     host_fov2 = np.ascontiguousarray(host_fov * 1.001)
     t0 = time.perf_counter()
-    dev = jax.device_put(host_fov2)
-    jax.block_until_ready(dev)
+    dev = _sync(jax.device_put(host_fov2))
     h2d_s = time.perf_counter() - t0
     h2d_gbps = host_fov.nbytes / h2d_s / 1e9
 
@@ -64,11 +79,11 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42,
         k, (size, size, channels), jnp.float32))
     make_labels = jax.jit(lambda k: jax.random.randint(
         k, (size, size), 0, cells_per_fov, jnp.int32))
-    imgs = [jax.block_until_ready(make_img(k)) for k in keys]
-    labels = [jax.block_until_ready(make_labels(k)) for k in keys]
+    imgs = [make_img(k) for k in keys]
+    labels = [make_labels(k) for k in keys]
 
-    img_stack = jnp.stack(imgs)          # (F, H, W, C) device-resident
-    label_stack = jnp.stack(labels)
+    img_stack = _sync(jnp.stack(imgs))   # (F, H, W, C) device-resident
+    label_stack = _sync(jnp.stack(labels))
 
     # ---- stage -1: Mesmer segmentation forward (semantic heads for every
     # FOV; the host watershed postprocess is measured separately in PERF.md)
@@ -93,9 +108,9 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42,
         _, outs = jax.lax.scan(one, None, batches)
         return outs
 
-    jax.block_until_ready(mesmer_all(mesmer_in * 0.999))  # warm
+    _sync(mesmer_all(mesmer_in * 0.999))  # warm
     with timer.stage("mesmer_forward", items=n_fovs, unit="FOVs"):
-        mes_out = jax.block_until_ready(mesmer_all(mesmer_in))
+        mes_out = _sync(mesmer_all(mesmer_in))
 
     # ---- stage 0: cohort channel percentiles (one device call, scan over
     # FOVs; quantiles route through the sort-free counting bisection on TPU —
@@ -110,18 +125,18 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42,
         _, out = jax.lax.scan(one, None, stack)
         return jnp.mean(out, axis=0)
 
-    jax.block_until_ready(chan_pct_all(img_stack * 0.999))  # warm
+    _sync(chan_pct_all(img_stack * 0.999))  # warm
     with timer.stage("channel_percentiles", items=n_pix, unit="pixels"):
-        norms = jax.block_until_ready(chan_pct_all(img_stack))
+        norms = _sync(chan_pct_all(img_stack))
 
     # ---- stage 1: SOM training on a 10% cohort subsample
     n_sub = int(0.1 * n_pix)
     # device-resident subset, as produced by the on-device pixel subsampler
     # (som_train keeps jax.Array inputs on device — no host round trip)
     sub = jax.random.uniform(jax.random.PRNGKey(1), (n_sub, channels))
-    weights = som_ops.som_train(sub * 0.99, seed=seed)  # warm
+    weights = _sync(som_ops.som_train(sub * 0.99, seed=seed))  # warm
     with timer.stage("som_train", items=n_sub, unit="pixels"):
-        weights = som_ops.som_train(sub, seed=seed)
+        weights = _sync(som_ops.som_train(sub, seed=seed))
 
     post_norms = jnp.asarray(rng.random(channels).astype(np.float32) + 0.5)
     wj = jnp.asarray(weights, jnp.float32)
@@ -150,9 +165,9 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42,
         _, out = jax.lax.scan(one, None, stack)
         return out
 
-    jax.block_until_ready(pixel_all(img_stack * 1.001))  # warm
+    _sync(pixel_all(img_stack * 1.001))  # warm
     with timer.stage("pixel_pipeline", items=n_pix, unit="pixels"):
-        clusters = jax.block_until_ready(pixel_all(img_stack))
+        clusters = _sync(pixel_all(img_stack))
 
     # ---- stage 3: marker quantification
     @jax.jit
@@ -171,19 +186,20 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42,
         _, out = jax.lax.scan(one, None, (istack, lstack))
         return out
 
-    jax.block_until_ready(quant_all(img_stack * 1.001, label_stack))  # warm
+    _sync(quant_all(img_stack * 1.001, label_stack))  # warm
     with timer.stage("marker_quantification", items=n_pix, unit="pixels"):
-        quants_all = jax.block_until_ready(quant_all(img_stack, label_stack))
+        quants_all = _sync(quant_all(img_stack, label_stack))
     quants = [tuple(q[i] for q in quants_all) for i in range(n_fovs)]
 
     # ---- stage 4: cell SOM over quantified features (cells x channels)
     cell_feats = np.concatenate([np.asarray(q[0])[1:] for q in quants])
     cw = som_ops.som_train(cell_feats * 0.99, seed=seed)  # warm compile bucket
-    som_ops.som_map(cw, cell_feats * 0.99, return_dist=False)  # warm map shape
+    _sync(som_ops.som_map(cw, cell_feats * 0.99, return_dist=False))  # warm
     with timer.stage("cell_som", items=len(cell_feats), unit="cells"):
         cell_w = som_ops.som_train(cell_feats, seed=seed)
         cell_clusters, _ = som_ops.som_map(cell_w, cell_feats,
                                            return_dist=False)
+        _sync(cell_clusters)
 
     # ---- stage 5: spatial stats (distances + enrichment permutations)
     n_markers, boots = 20, 100
@@ -209,10 +225,10 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42,
 
     cys = jnp.stack([q[2] for q in quants])
     cxs = jnp.stack([q[3] for q in quants])
-    jax.block_until_ready(spatial_all(cys + 0.001, cxs, pos))  # warm
+    _sync(spatial_all(cys + 0.001, cxs, pos))  # warm
     with timer.stage("spatial_enrichment", items=n_fovs * boots,
                      unit="permutations"):
-        outs = jax.block_until_ready(spatial_all(cys, cxs, pos))
+        outs = _sync(spatial_all(cys, cxs, pos))
 
     total = timer.total_seconds
     result = {

@@ -29,6 +29,15 @@ def best_of(n, fn):
     return out
 
 
+
+def _sync(x):
+    """Real execution barrier: block_until_ready returns before remote
+    execution completes on this attach (CLAUDE.md measurement traps) —
+    read back a scalar derived from the output instead."""
+    import jax.numpy as jnp
+    np.asarray(jnp.sum(x.astype(jnp.float32)))
+    return x
+
 def bench_edt(size):
     import jax
     import jax.numpy as jnp
@@ -39,17 +48,17 @@ def bench_edt(size):
     rng = np.random.default_rng(0)
     img_host = ndi.gaussian_filter(rng.random((size, size)), 8) > 0.55
     img = jnp.asarray(img_host)
-    jax.block_until_ready(edt.distance_transform_edt(img))  # warm/compile
+    _sync(edt.distance_transform_edt(img))  # warm/compile
     # anti-replay: flip one pixel per trial (host-side, outside the window)
     variants = []
     for t in range(3):
         v = np.array(img_host)
         v[t, t] = ~v[t, t]
-        variants.append(jax.block_until_ready(jnp.asarray(v)))
+        variants.append(_sync(jnp.asarray(v).astype(jnp.float32)) != 0)
     dev_s = float("inf")
     for v in variants:
         t0 = time.perf_counter()
-        jax.block_until_ready(edt.distance_transform_edt(v))
+        _sync(edt.distance_transform_edt(v))
         dev_s = min(dev_s, time.perf_counter() - t0)
     host_s = best_of(3, lambda: ndi.distance_transform_edt(img_host))
     # device result must match scipy here too (sanity on real hardware)
@@ -114,16 +123,16 @@ def bench_cc(size):
     rng = np.random.default_rng(0)
     mask_host = ndi.gaussian_filter(rng.random((size, size)), 2) > 0.52
     import jax.numpy as jnp
-    jax.block_until_ready(cc.label(jnp.asarray(mask_host))[0])  # warm
+    _sync(cc.label(jnp.asarray(mask_host))[0])  # warm
     variants = []
     for t in range(3):
         v = np.array(mask_host)
         v[t, t] = ~v[t, t]
-        variants.append(jax.block_until_ready(jnp.asarray(v)))
+        variants.append(_sync(jnp.asarray(v).astype(jnp.float32)) != 0)
     dev_s = float("inf")
     for v in variants:
         t0 = time.perf_counter()
-        jax.block_until_ready(cc.label(v)[0])
+        _sync(cc.label(v)[0])
         dev_s = min(dev_s, time.perf_counter() - t0)
     host_s = best_of(3, lambda: ndi.label(mask_host))
     got, n_got = cc.label_np(mask_host)
