@@ -308,7 +308,10 @@ def _varying_false(x: jax.Array):
     fail the carry/branch type checks when convergence flags are computed
     from sharded data). The int32 cast makes the self-inequality safe for
     ANY dtype: a float NaN at flat index 0 would make `v != v` True and
-    silently skip every active round."""
+    silently skip every active round.
+
+    Precondition: ``x.size > 0`` (a B=0 stack would make the flat gather
+    out-of-bounds); all batched entry points assert this statically."""
     v = x.ravel()[0].astype(jnp.int32)
     return v != v
 
@@ -405,6 +408,9 @@ def label_batched(mask: jax.Array, connectivity: int = 1):
     scipy.ndimage.label exactly when `converged` is True (always at the
     default budget; the watershed host wrappers fall back when not)."""
     fg = mask.astype(bool)
+    if fg.size == 0:
+        raise ValueError("label_batched needs a non-empty stack "
+                         "(_varying_false gathers flat element 0)")
     b, h, w = fg.shape
     n = h * w
     iota = jnp.arange(n, dtype=jnp.int32).reshape(1, h, w)
@@ -429,6 +435,9 @@ def label_batched_small(mask: jax.Array, connectivity: int = 1,
     a non-fixpoint — the labeling is then unusable and the caller must
     fall back to `label_batched` or the host path)."""
     fg = mask.astype(bool)
+    if fg.size == 0:
+        raise ValueError("label_batched_small needs a non-empty stack "
+                         "(_varying_false gathers flat element 0)")
     b, h, w = fg.shape
     n = h * w
     sentinel = jnp.int32(n)
@@ -463,14 +472,15 @@ def area_filter_batched(labels: jax.Array, min_area: int = 0,
     lab2 = labels.astype(jnp.int32).reshape(b, n)
     in_range = jnp.all(lab2 <= m)
     # 1-D segment_sum with per-image offset ids — a 2-D batched scatter
-    # lowers catastrophically on TPU (see _cc_rounds_batched). f32 adds
-    # are exact up to 2^24 > any pixel count here.
+    # lowers catastrophically on TPU (see _cc_rounds_batched). int32 ones
+    # keep areas exact for any image size (a 4096² image is exactly 2^24
+    # pixels, past f32's exact-integer range).
     offs = (jnp.arange(b, dtype=jnp.int32) * (m + 1))[:, None]
     safe = jnp.clip(lab2, 0, m)
     flat_ids = (safe + offs).ravel()
     counts = jax.ops.segment_sum(
-        jnp.ones(b * n, jnp.float32), flat_ids,
-        num_segments=b * (m + 1)).astype(jnp.int32).reshape(b, m + 1)
+        jnp.ones(b * n, jnp.int32), flat_ids,
+        num_segments=b * (m + 1)).reshape(b, m + 1)
     ids = jnp.arange(m + 1, dtype=jnp.int32)[None, :]
     keep = (counts >= min_area) & (counts <= max_area) & (ids > 0)
     lut = jnp.where(keep, ids, 0)

@@ -333,6 +333,9 @@ def segment_fovs(fov_images: np.ndarray, weights_path: Optional[str] = None,
 
     if fov_images.shape[0] == 0:
         raise ValueError("segment_fovs needs at least one FOV image")
+    if postprocess not in ("host", "device"):
+        raise ValueError(
+            f"postprocess must be 'host' or 'device', got {postprocess!r}")
     if postprocess == "device":
         # double-buffered like the host path: batch i+1's fused program is
         # dispatched before batch i's labels are read back, hiding the

@@ -128,8 +128,10 @@ def _bench_segmentation_e2e(n_fovs=8, size=512):
     (`Mesmer.predict(postprocess='device')`, double-buffered batches).
     `mesmer_fovs_per_s` measures the forward alone; this is the number a
     user gets from FOV images to int32 instance masks. Dense planted
-    cohort (~165 cells / 512² FOV — synthetic_cells defaults would plant
-    only 4-9); the reference's equivalent is a DeepCell REST round trip
+    cohort: n_cells=(250, 300) requested ellipses at crowding=0.35 merge
+    to ~165 surviving instances per 512² FOV (synthetic_cells defaults
+    would plant only 4-9); the reference's equivalent is a DeepCell REST
+    round trip
     measured in minutes per 5-FOV zip (deepcell_service_utils.py:95-211)."""
     import os
 
