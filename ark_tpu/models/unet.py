@@ -45,6 +45,28 @@ import numpy as np
 # benchmarks/head_fold_ab.py history and PERF.md).
 RESIZE_IN_F32 = False
 
+# keras/TF forward-semantics constants the converter contract depends on
+# (pinned by tests/models/test_keras_semantics.py — a genuine
+# MultiplexSegmentation.h5 converts AND computes correctly only if these
+# match what the weights were trained under):
+# - keras.applications resnet.py builds every backbone BatchNormalization
+#   with epsilon=1.001e-5 (NOT keras' 1e-3 default, NOT flax's 1e-5)
+# - deepcell-tf's semantic head uses a default-epsilon keras
+#   BatchNormalization (1e-3)
+BACKBONE_BN_EPSILON = 1.001e-5
+HEAD_BN_EPSILON = 1e-3
+
+
+def location2d_grid(h: int, w: int) -> jax.Array:
+    """deepcell-tf `Location2D` coordinate channels (layers/location.py):
+    row/col index grids each normalized to [0, 1] by their MAX INDEX
+    (divide by h-1 / w-1, not h / w), stacked channel-last in (y, x)
+    order — channel 0 varies down rows, channel 1 across columns.
+    Returns (h, w, 2) float32."""
+    ys = jnp.arange(h, dtype=jnp.float32) / max(h - 1, 1)
+    xs = jnp.arange(w, dtype=jnp.float32) / max(w - 1, 1)
+    return jnp.stack(jnp.meshgrid(ys, xs, indexing="ij"), axis=-1)
+
 
 def _bilinear_resize(x: jax.Array, th: int, tw: int,
                      dtype=None) -> jax.Array:
@@ -68,7 +90,8 @@ class BottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = functools.partial(nn.BatchNorm, use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+                                 momentum=0.9, epsilon=BACKBONE_BN_EPSILON,
+                                 dtype=self.dtype)
         residual = x
         y = nn.Conv(self.features, (1, 1), strides=self.strides,
                     use_bias=False, dtype=self.dtype)(x)
@@ -101,12 +124,20 @@ class ResNet50Backbone(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = functools.partial(nn.BatchNorm, use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+                                 momentum=0.9, epsilon=BACKBONE_BN_EPSILON,
+                                 dtype=self.dtype)
+        # keras ResNet50 stem: ZeroPadding2D(3) + 7x7/2 VALID conv — an
+        # explicit (3, 3) pad, NOT 'SAME' (SAME on an even input pads
+        # (2, 3): one row/col shifted vs the published weights)
         x = nn.Conv(self.base_width, (7, 7), strides=(2, 2),
                     padding=[(3, 3), (3, 3)], use_bias=False,
                     dtype=self.dtype)(x)
         x = norm()(x)
         x = nn.relu(x)
+        # keras pool1: ZeroPadding2D(1) + 3x3/2 VALID maxpool. flax pads
+        # with -inf where keras pads with ZEROS — identical here because
+        # the input is post-relu (>= 0, so real values always dominate a
+        # zero pad); pinned by tests/models/test_keras_semantics.py
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         feats = []
         for i, n_blocks in enumerate(self.stage_sizes):
@@ -185,7 +216,8 @@ class SemanticHead(nn.Module):
             x = _bilinear_resize(x, th, tw, dtype=self.dtype)
         x = nn.Dense(self.dense_features, dtype=self.dtype, name="dense_0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-3, dtype=self.dtype, name="bn_0")(x)
+                         epsilon=HEAD_BN_EPSILON, dtype=self.dtype,
+                         name="bn_0")(x)
         x = nn.relu(x)
         return nn.Dense(self.n_classes, dtype=jnp.float32, name="dense_1")(x)
 
@@ -232,13 +264,8 @@ class PanopticNet(nn.Module):
         out_hw = x.shape[1:3]
         x = x.astype(self.dtype)
         if self.location:
-            # deepcell Location2D: (y, x) grids normalized to [0, 1] by the
-            # max index, stacked channel-last in (y, x) order
             b, h, w, _ = x.shape
-            ys = jnp.arange(h, dtype=jnp.float32) / max(h - 1, 1)
-            xs = jnp.arange(w, dtype=jnp.float32) / max(w - 1, 1)
-            loc = jnp.stack(jnp.meshgrid(ys, xs, indexing="ij"), axis=-1)
-            loc = jnp.broadcast_to(loc[None], (b, h, w, 2))
+            loc = jnp.broadcast_to(location2d_grid(h, w)[None], (b, h, w, 2))
             x = jnp.concatenate([x, loc.astype(self.dtype)], axis=-1)
         x = nn.Dense(3, dtype=self.dtype, name="tensor_product")(x)
         feats = ResNet50Backbone(dtype=self.dtype,
