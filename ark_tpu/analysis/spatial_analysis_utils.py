@@ -7,8 +7,11 @@ selection :119-171, compute_close_cell_num :174-274, compute_neighbor_counts
 :277-338, k-means sweeps :341-454). Distance matrices, the marker×marker
 close-interaction counts, and neighbor-count matmuls run on device.
 
-Distance matrices persist as `<fov>_dist_mat.xr` (name contract preserved);
-the container is this framework's HDF5 DataArray format."""
+Distance matrices persist as `<fov>_dist_mat.xr` in the reference's actual
+on-disk format — classic netCDF, NETCDF3_64BIT (reference :55-60 writes
+`to_netcdf(format='NETCDF3_64BIT')`) — via `ark_tpu.utils.netcdf3`, so
+cohorts move between the two frameworks in either direction. The loader
+also still opens this framework's legacy HDF5 layout."""
 
 from __future__ import annotations
 
@@ -39,7 +42,7 @@ def calc_dist_matrix(cell_table, save_path, fov_id=settings.FOV_ID,
         labels = list(fov_table[label_id])
         dist_matrix = dist_ops.cdist(centroids).astype(np.float32)
         da = DataArray(dist_matrix, coords={"dim_0": labels, "dim_1": labels})
-        da.to_h5(os.path.join(save_path, str(fov) + "_dist_mat.xr"))
+        da.to_netcdf(os.path.join(save_path, str(fov) + "_dist_mat.xr"))
 
 
 def load_dist_matrix(dist_mat_dir, fov) -> DataArray:

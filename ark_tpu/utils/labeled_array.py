@@ -176,7 +176,18 @@ class DataArray:
     def loc(self):
         return DataArray._Loc(self)
 
-    # ---- persistence (HDF5 stand-in for netCDF *.xr files) ----
+    # ---- persistence ----
+    def to_netcdf(self, path: str):
+        """Write as classic netCDF (CDF-2, 64-bit offsets) with xarray's
+        single-DataArray conventions — byte-format-compatible with the
+        reference's `to_netcdf(format='NETCDF3_64BIT')`
+        (`src/ark/analysis/spatial_analysis_utils.py:55-60`), so real
+        xarray `load_dataarray` opens these files and vice versa."""
+        from ark_tpu.utils import netcdf3
+        netcdf3.write(path, self.values, list(self.dims),
+                      {d: np.asarray(c) for d, c in self.coords.items()},
+                      name=self.name)
+
     def to_h5(self, path: str):
         import h5py
         with h5py.File(path, "w") as f:
@@ -197,7 +208,26 @@ class DataArray:
                     f.create_dataset(f"coords/{d}", data=c)
 
     @staticmethod
+    def from_file(path: str) -> "DataArray":
+        """Open either on-disk layout by magic bytes: classic netCDF
+        ('CDF\\x01'/'CDF\\x02' — written by `to_netcdf`, real xarray, or
+        the reference) or this framework's legacy HDF5 layout."""
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        if magic[:3] == b"CDF":
+            from ark_tpu.utils import netcdf3
+            values, dims, coords, name, _ = netcdf3.read(path)
+            return DataArray(values, coords=coords, dims=dims, name=name)
+        return DataArray._from_h5_layout(path)
+
+    @staticmethod
     def from_h5(path: str) -> "DataArray":
+        """Historical reader name; callers expect it to open anything
+        calc_dist_matrix ever wrote, so it sniffs both layouts."""
+        return DataArray.from_file(path)
+
+    @staticmethod
+    def _from_h5_layout(path: str) -> "DataArray":
         import h5py
         with h5py.File(path, "r") as f:
             values = f["values"][:]
