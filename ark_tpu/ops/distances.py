@@ -143,3 +143,60 @@ def blocked_neighbor_counts(coords, onehot, dist_lim: float,
         out[i:i + blk.shape[0]] = np.asarray(_neighbor_count_block(
             blk, all_j, onehot_j, lim, jnp.int32(i)))
     return out
+
+
+@jax.jit
+def _silhouette_block(block: jax.Array, row_labels: jax.Array,
+                      data: jax.Array, onehot: jax.Array,
+                      counts: jax.Array, row_offset: jax.Array) -> jax.Array:
+    """Per-point silhouette values for one row block: distance sums to
+    every cluster via one (B, N)·(N, K) matmul, then the standard
+    a/b/max(a, b) combination. Self-distances are forced to exact 0 by
+    index (the D>4 MXU decomposition leaves small positive diagonals) so
+    a_i is a true mean over the OTHER same-cluster points."""
+    d = jnp.sqrt(squared_distances(block, data))
+    n_b = block.shape[0]
+    self_mask = (jnp.arange(n_b)[:, None] + row_offset
+                 == jnp.arange(data.shape[0])[None, :])
+    d = jnp.where(self_mask, 0.0, d)
+    sums = jnp.dot(d, onehot, precision=jax.lax.Precision.HIGHEST)  # (B, K)
+    own_count = counts[row_labels]                                  # (B,)
+    own_sum = jnp.take_along_axis(sums, row_labels[:, None], 1)[:, 0]
+    a = own_sum / jnp.maximum(own_count - 1.0, 1.0)
+    own_oh = jax.nn.one_hot(row_labels, onehot.shape[1], dtype=bool)
+    mean_other = sums / jnp.maximum(counts[None, :], 1.0)
+    # empty clusters (count 0) must never win the min
+    mean_other = jnp.where(counts[None, :] > 0, mean_other, jnp.inf)
+    b = jnp.min(jnp.where(own_oh, jnp.inf, mean_other), axis=1)
+    s = (b - a) / jnp.maximum(jnp.maximum(a, b), 1e-30)
+    # sklearn convention: singleton clusters score 0
+    return jnp.where(own_count > 1.0, s, 0.0)
+
+
+def silhouette_score(data, labels, block_rows: int = 4096) -> float:
+    """Mean euclidean silhouette coefficient on device, computed in row
+    blocks — drop-in for `sklearn.metrics.silhouette_score(X, labels)`
+    (the reference's topic-EDA metric, `spLDA/processing.py:194-304`)
+    without materializing the (N, N) distance matrix: peak device memory
+    is one (block_rows, N) block, the per-cluster reduction is a matmul.
+    """
+    data = np.asarray(data, np.float32)
+    labels = np.asarray(labels)
+    uniq, inv = np.unique(labels, return_inverse=True)
+    n = data.shape[0]
+    if not 2 <= len(uniq) <= n - 1:
+        raise ValueError(
+            f"Number of labels is {len(uniq)}. Valid values are 2 "
+            f"to n_samples - 1 (inclusive)")
+    k = len(uniq)
+    onehot_j = jnp.asarray(np.eye(k, dtype=np.float32)[inv])
+    counts_j = jnp.asarray(np.bincount(inv, minlength=k).astype(np.float32))
+    data_j = jnp.asarray(data)
+    labels_j = jnp.asarray(inv.astype(np.int32))
+    total = 0.0
+    for i in range(0, n, block_rows):
+        blk = data_j[i:i + block_rows]
+        s = _silhouette_block(blk, labels_j[i:i + block_rows], data_j,
+                              onehot_j, counts_j, jnp.int32(i))
+        total += float(jnp.sum(s))
+    return total / n

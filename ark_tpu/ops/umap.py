@@ -194,6 +194,68 @@ def _optimize(emb0: jax.Array, heads: jax.Array, tails: jax.Array,
     return emb
 
 
+def umap_epoch_sharded(emb, heads, tails, weights, key, mesh, lr: float,
+                       negative_sample_rate: int = 5, a: float = _A,
+                       b: float = _B, data_axis: str = "fov"):
+    """One UMAP optimization epoch with the EDGE list sharded over the
+    mesh: each shard computes attract + negative-sample repel deltas for
+    its edges against the epoch-start embedding; the (N, d) deltas `psum`
+    over ICI and apply once. Batch-synchronous — the sequential `_optimize`
+    epoch applies updates between its phases; this is the standard
+    data-parallel relaxation (same fixed points, slightly different
+    trajectory).
+
+    Edge count must be divisible by the mesh size — pad with
+    (head=0, tail=0, weight=0) edges: zero weight zeroes both the attract
+    and repel contributions. Negative samples differ per shard via
+    `fold_in(key, axis_index)`. Returns the updated replicated embedding.
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = emb.shape[0]
+
+    def shard(emb, he, ta, w, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
+        hpos = jnp.take(emb, he, axis=0)
+        tpos = jnp.take(emb, ta, axis=0)
+        diff = hpos - tpos
+        d2 = jnp.sum(diff * diff, axis=1)
+        d2s = jnp.maximum(d2, 1e-8)
+        grad_coef = jnp.where(
+            d2 > 0.0,
+            -2.0 * a * b * d2s ** (b - 1.0) / (1.0 + a * d2s ** b), 0.0)
+        attract = jnp.clip(grad_coef[:, None] * diff, -4.0, 4.0) * w[:, None]
+        delta = jnp.zeros_like(emb).at[he].add(lr * attract)
+        delta = delta.at[ta].add(-lr * attract)
+
+        def neg(carry, _):
+            delta, key = carry
+            key, sub = jax.random.split(key)
+            negs = jax.random.randint(sub, he.shape, 0, n)
+            diff = hpos - jnp.take(emb, negs, axis=0)
+            d2 = jnp.sum(diff * diff, axis=1)
+            coef = 2.0 * b / ((0.001 + d2) * (1.0 + a * d2 ** b))
+            repel = jnp.clip(coef[:, None] * diff, -4.0, 4.0) * w[:, None]
+            return (delta.at[he].add(lr * repel), key), None
+
+        (delta, _), _ = jax.lax.scan(neg, (delta, key), None,
+                                     length=negative_sample_rate)
+        return emb + jax.lax.psum(delta, data_axis)
+
+    edge_sh = NamedSharding(mesh, P(data_axis))
+    repl = NamedSharding(mesh, P())
+    fn = shard_map(shard, mesh=mesh,
+                   in_specs=(P(), P(data_axis), P(data_axis), P(data_axis),
+                             P()),
+                   out_specs=P())
+    return fn(jax.device_put(jnp.asarray(emb, jnp.float32), repl),
+              jax.device_put(jnp.asarray(heads, jnp.int32), edge_sh),
+              jax.device_put(jnp.asarray(tails, jnp.int32), edge_sh),
+              jax.device_put(jnp.asarray(weights, jnp.float32), edge_sh),
+              jax.device_put(key, repl))
+
+
 def _pca(data: jax.Array, n_components: int = 2) -> jax.Array:
     x = data - data.mean(0, keepdims=True)
     cov = (x.T @ x) / x.shape[0]

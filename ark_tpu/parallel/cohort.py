@@ -118,6 +118,59 @@ def run_pixel_cohort(fov_batches, channel_norms, pixel_thresh,
     return jax.tree.map(lambda x: np.asarray(x)[:n], out)
 
 
+def run_fiber_cohort(fov_batches, fov_len=None, blur=2,
+                     contrast_scaling_divisor=128,
+                     fiber_widths=(1, 3, 5, 7, 9), ridge_cutoff=0.1,
+                     sobel_blur=1, mesh=None) -> Dict[str, np.ndarray]:
+    """Run the fused fiber device pipeline (blur → CLAHE → Frangi → EDT →
+    Sobel elevation; `fiber_segmentation._fiber_device_program`) over a
+    (B, H, W) FOV batch, sharded across the mesh — the device half of
+    `run_fiber_segmentation`'s per-FOV loop (reference
+    `fiber_segmentation.py:197-276`). Returns the host-tail inputs
+    ('distance_transformed', 'elevation_map' (B, H, W), 'has_bg' (B,));
+    callers run the host multi-Otsu/watershed/label tail per FOV.
+
+    Per-shard work only (no collectives). Caveat: under vmap, CLAHE's
+    per-image 1-D histogram scatter-add becomes a batched 2-D scatter —
+    the pattern PERF.md measured as slow on TPU for the watershed kernels.
+    If batched fiber shows up hot on real hardware, flatten the scatter
+    with per-image offset ids (`cc.py`'s offset-ids pattern) before
+    scaling the batch."""
+    from ark_tpu.ops import classical
+    from ark_tpu.segmentation.fiber_segmentation import _fiber_device_program
+
+    mesh = mesh or mesh_utils.get_mesh()
+    fov_batches = np.asarray(fov_batches, np.float32)
+    n, h, w = fov_batches.shape
+    fov_len = w if fov_len is None else fov_len
+    n_pad = mesh_utils.pad_to_multiple(n, mesh.devices.size)
+    if n_pad != n:
+        pad = np.zeros((n_pad - n, h, w), np.float32)
+        fov_batches = np.concatenate([fov_batches, pad])
+    th, tw, n_tr, n_tc = classical._clahe_geometry(
+        h, w, fov_len / contrast_scaling_divisor)
+    batch = jax.device_put(jnp.asarray(fov_batches),
+                           mesh_utils.fov_sharding(mesh))
+
+    @functools.partial(
+        jax.jit, static_argnames=("blur", "th", "tw", "n_tr", "n_tc",
+                                  "fiber_widths", "sobel_blur"))
+    def program(batch, ridge_cutoff, *, blur, th, tw, n_tr, n_tc,
+                fiber_widths, sobel_blur):
+        def one(img):
+            out = _fiber_device_program(
+                img, ridge_cutoff, blur=blur, th=th, tw=tw, n_tr=n_tr,
+                n_tc=n_tc, fiber_widths=fiber_widths, sobel_blur=sobel_blur)
+            return {k: out[k] for k in ("distance_transformed",
+                                        "elevation_map", "has_bg")}
+        return jax.vmap(one)(batch)
+
+    out = program(batch, jnp.float32(ridge_cutoff), blur=blur, th=th,
+                  tw=tw, n_tr=n_tr, n_tc=n_tc,
+                  fiber_widths=tuple(fiber_widths), sobel_blur=sobel_blur)
+    return jax.tree.map(lambda x: np.asarray(x)[:n], out)
+
+
 def _percentile_per_fov(img, q):
     c = img.shape[-1]
     flat = img.reshape(-1, c).astype(jnp.float32)

@@ -90,6 +90,68 @@ def _lda_em(X: jax.Array, L: jax.Array, key, n_topics: int,
     return lam, gamma
 
 
+def em_step_sharded(X, lam, gamma, L, mesh, alpha: float, eta: float,
+                    penalty: float, e_steps: int = 20,
+                    data_axis: str = "fov"):
+    """One EM outer iteration with CELLS sharded over the mesh (SURVEY.md
+    §2.5: the E-step's (N, V)·(V, K) matmuls are embarrassingly row-
+    parallel). Each shard runs the inner gamma fixed-point on its local
+    cells; the M-step sufficient statistics `psum` over ICI; the Laplacian
+    smoothing `all_gather`s the (N, K) topic matrix (K is tiny) so local
+    L rows can couple cells across shards.
+
+    Args: X (N, V) counts, lam (K, V) replicated, gamma (N, K), L (N, N)
+    Laplacian — N must be divisible by the mesh size (pad with zero-count
+    cells; a zero row leaves gamma at alpha and contributes nothing to
+    sstats or the smoothing). Returns (new lam replicated, new gamma
+    sharded). Traced per call — drivers looping outer iterations should
+    wrap their loop in one jit around this.
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    digamma = jax.scipy.special.digamma
+
+    def step(X_l, gamma_l, L_l, lam):
+        elog_beta = digamma(lam) - digamma(lam.sum(1, keepdims=True))
+        exp_elog_beta = jnp.exp(elog_beta)                     # (K, V)
+
+        def inner(_, g):
+            elog_theta = digamma(g) - digamma(g.sum(1, keepdims=True))
+            eet = jnp.exp(elog_theta)
+            phinorm = eet @ exp_elog_beta + 1e-100
+            return alpha + eet * ((X_l / phinorm) @ exp_elog_beta.T)
+
+        gamma_l = jax.lax.fori_loop(0, e_steps, inner, gamma_l)
+        elog_theta = digamma(gamma_l) - digamma(gamma_l.sum(1, keepdims=True))
+        eet = jnp.exp(elog_theta)
+        phinorm = eet @ exp_elog_beta + 1e-100
+        sstats = exp_elog_beta * jax.lax.psum(
+            eet.T @ (X_l / phinorm), data_axis)               # (K, V) repl.
+        lam_new = eta + sstats
+
+        gsum = gamma_l.sum(1, keepdims=True)
+        theta_l = gamma_l / gsum
+        theta_full = jax.lax.all_gather(theta_l, data_axis, tiled=True,
+                                        axis=0)               # (N, K)
+        theta_l = theta_l - penalty * (L_l @ theta_full)
+        theta_l = jnp.maximum(theta_l, 1e-8)
+        theta_l = theta_l / theta_l.sum(1, keepdims=True)
+        return lam_new, theta_l * gsum
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(P(data_axis), P(data_axis),
+                             P(data_axis, None), P()),
+                   out_specs=(P(), P(data_axis)))
+    sh = NamedSharding(mesh, P(data_axis))
+    return fn(jax.device_put(jnp.asarray(X, jnp.float32), sh),
+              jax.device_put(jnp.asarray(gamma, jnp.float32), sh),
+              jax.device_put(jnp.asarray(L, jnp.float32),
+                             NamedSharding(mesh, P(data_axis, None))),
+              jax.device_put(jnp.asarray(lam, jnp.float32),
+                             NamedSharding(mesh, P())))
+
+
 def _build_laplacian(sample_features: pd.DataFrame,
                      difference_matrices: Optional[Dict]) -> np.ndarray:
     """Block-diagonal graph Laplacian DᵀD over all FOVs, aligned with the

@@ -13,14 +13,30 @@ import functools
 
 import numpy as np
 import pandas as pd
-from sklearn.metrics import silhouette_score
-from sklearn.model_selection import train_test_split
 from tqdm import tqdm
 
 from ark_tpu import settings
 from ark_tpu.ops import kmeans as kmeans_ops
+from ark_tpu.ops.distances import silhouette_score
 from ark_tpu.spLDA import featurization as ft
 from ark_tpu.utils import spatial_lda_utils as spu
+
+
+def _stratified_train_split(df: pd.DataFrame, train_frac: float,
+                            strata, seed: int = 42) -> pd.DataFrame:
+    """Deterministic stratified train subset (replaces the reference
+    dependency's `sklearn.model_selection.train_test_split(stratify=...)`
+    at `spLDA/processing.py:76-144`): within each stratum (FOV), a seeded
+    permutation keeps `round(train_frac * n)` rows (at least 1), so every
+    FOV stays represented in LDA training."""
+    strata = np.asarray(strata)
+    rng = np.random.default_rng(seed)
+    keep = np.zeros(len(df), dtype=bool)
+    for s in pd.unique(strata):
+        idx = np.flatnonzero(strata == s)
+        n_keep = max(int(round(train_frac * len(idx))), 1)
+        keep[rng.permutation(idx)[:n_keep]] = True
+    return df.iloc[np.flatnonzero(keep)]
 
 
 def format_cell_table(cell_table, markers=None, clusters=None):
@@ -74,9 +90,8 @@ def featurize_cell_table(cell_table, featurization="cluster", radius=100,
         feature_sample, fn, radius=radius, is_anchor_col=cell_index,
         x_col="x", y_col="y", n_processes=n_processes, include_anchors=True)
     all_sample_idxs = featurized_fovs.index.map(lambda x: x[0])
-    train_features, _ = train_test_split(
-        featurized_fovs, test_size=1.0 - train_frac, stratify=all_sample_idxs,
-        random_state=42)
+    train_features = _stratified_train_split(
+        featurized_fovs, train_frac, all_sample_idxs, seed=42)
     return {"featurized_fovs": featurized_fovs,
             "train_features": train_features,
             "featurization": featurization}
@@ -139,8 +154,7 @@ def compute_topic_eda(features, featurization, topics, silhouette=False,
             cell_count[i] = features[labels == i].sum(axis=0)
         stats["inertia"][k] = inertia
         if silhouette:
-            stats["silhouette"][k] = silhouette_score(
-                features, labels, metric="euclidean")
+            stats["silhouette"][k] = silhouette_score(feat_values, labels)
         if num_boots is not None:
             pooled = spu.within_cluster_sums(data=features.values,
                                              labels=labels)

@@ -159,6 +159,39 @@ def _bench_segmentation_e2e(n_fovs=8, size=512):
             "segmentation_e2e_fov_size": size}
 
 
+def _bench_fiber(size=1024):
+    """Fiber segmentation e2e FOV/s at 1024² (VERDICT r3 weak #3): the
+    fused device program (blur→CLAHE→Frangi→EDT→Sobel) + the host
+    otsu/watershed/label tail — `_fiber_steps(keep_intermediates=False)`,
+    the production path of `run_fiber_segmentation`. Planted-ridge relief
+    (random noise alone gives Frangi nothing to enhance). Stage-matched
+    host-scipy comparison lives in benchmarks/r4_kernel_bench.py (2.4×)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.r4_kernel_bench import _fiber_image
+    from ark_tpu.segmentation.fiber_segmentation import _fiber_steps
+
+    rng = np.random.default_rng(3)
+    img = _fiber_image(rng, size)
+
+    def e2e(x):
+        return _fiber_steps(x, size, blur=2, contrast_scaling_divisor=128,
+                            fiber_widths=tuple(range(1, 10, 2)),
+                            ridge_cutoff=0.1, sobel_blur=1,
+                            min_fiber_size=15, keep_intermediates=False)
+
+    e2e(img)  # warm
+    variants = [img * (1.0 + 1e-4 * (t + 1)) for t in range(3)]
+    best = float("inf")
+    for x in variants:
+        t0 = time.perf_counter()
+        e2e(x)
+        best = min(best, time.perf_counter() - t0)
+    return {"fiber_fovs_per_s": round(1 / best, 2)}
+
+
 def _probe_attach(timeout_s: int = 120) -> str:
     """The axon attach has an observed outage mode where even
     `jax.devices()` hangs forever (CLAUDE.md r3). A hung bench leaves the
@@ -216,6 +249,10 @@ def main():
         extra.update(_bench_segmentation_e2e())
     except Exception as e:
         extra["segmentation_e2e_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        extra.update(_bench_fiber())
+    except Exception as e:
+        extra["fiber_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({
         "metric": "som_bmu_map_throughput",
         "value": round(tpu_mpix, 1),
