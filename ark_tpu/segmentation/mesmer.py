@@ -193,7 +193,7 @@ class Mesmer:
                 fgmask = res[comp]["foreground"] > interior_threshold
                 q = watershed_ops._quantize(-res[comp]["inner"], fgmask,
                                             _DEVICE_WATERSHED_LEVELS)
-                lab, w_done = watershed_ops._flood(
+                lab, w_done = watershed_ops.flood(
                     q, markers, fgmask, _DEVICE_WATERSHED_LEVELS,
                     _DEVICE_WATERSHED_BFS_ROUNDS)
                 # 16k labels covers any real FOV's marker count; the

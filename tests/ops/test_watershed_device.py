@@ -324,3 +324,66 @@ def test_quantize_matches_native_robust_range(rng):
     q = np.asarray(W._quantize(jnp.asarray(elev), jnp.asarray(mask), 256))
     assert q[0, 0, 0] == 255      # saturates into the end bucket
     assert len(np.unique(q)) > 100  # main relief keeps its resolution
+
+
+def test_minimax_sweep_blocked_by_mask():
+    """Regression: directional sweeps must not pass keys THROUGH masked-out
+    pixels (the scan's transfer function pipes values along a whole line;
+    non-mask positions gate with the reserved absorbing level). A straight
+    corridor with a masked gap: the far side is unreachable."""
+    h, w = 8, 64
+    elev = np.zeros((h, w), np.float32)
+    mask = np.ones((h, w), bool)
+    mask[:, 30:34] = False          # full-height gap
+    markers = np.zeros((h, w), np.int32)
+    markers[4, 2] = 1
+    got, done = W.watershed_device(elev, markers, mask)
+    got = np.asarray(got)
+    assert bool(done)
+    assert (got[:, :30][mask[:, :30]] == 1).all()
+    assert (got[:, 34:] == 0).all()
+    ref = W.watershed(elev, markers, mask)
+    np.testing.assert_array_equal(got > 0, ref > 0)
+
+
+def test_minimax_round_budget_flag(rng):
+    """An insufficient round budget must surface as converged=False (the
+    certified-fallback contract of watershed_batch_np), never as silently
+    wrong labels presented as converged."""
+    elev = np.zeros((32, 32), np.float32)
+    markers = np.zeros((32, 32), np.int32)
+    markers[0, 0] = 1
+    q = np.zeros((1, 32, 32), np.int32)
+    lab, done = W._flood_minimax(jnp.asarray(q),
+                                 jnp.asarray(markers[None]),
+                                 jnp.ones((1, 32, 32), bool), 256, rounds=1)
+    # one block of rounds cannot both finish and certify on this size
+    # with sweeps disabled from certifying (certificate = neighbor probe)
+    assert (np.asarray(lab) >= 0).all()
+    full, done_full = W._flood_minimax(jnp.asarray(q),
+                                       jnp.asarray(markers[None]),
+                                       jnp.ones((1, 32, 32), bool), 256,
+                                       rounds=128)
+    assert bool(done_full)
+    assert (np.asarray(full)[0] == 1).all()
+
+
+def test_minimax_matches_levels_engine_coverage(rng):
+    """Both device engines produce identical claim coverage and identical
+    single-marker components on random smooth relief."""
+    import scipy.ndimage as sndi
+
+    elev = sndi.gaussian_filter(rng.random((40, 40)), 2).astype(np.float32)
+    mask = elev < np.quantile(elev, 0.85)
+    markers = np.zeros_like(elev, np.int32)
+    ys, xs = np.where(mask)
+    for i, j in enumerate(rng.choice(len(ys), 5, replace=False), start=1):
+        markers[ys[j], xs[j]] = i
+    q = W._quantize(jnp.asarray(elev[None]), jnp.asarray(mask[None]), 256)
+    lab_mm, done_mm = W._flood_minimax(q, jnp.asarray(markers[None]),
+                                       jnp.asarray(mask[None]), 256, 320)
+    lab_lv, done_lv = W._flood(q, jnp.asarray(markers[None]),
+                               jnp.asarray(mask[None]), 256, 32)
+    assert bool(done_mm) and bool(done_lv)
+    np.testing.assert_array_equal(np.asarray(lab_mm) > 0,
+                                  np.asarray(lab_lv) > 0)
