@@ -142,7 +142,10 @@ def run_fiber_cohort(fov_batches, fov_len=None, blur=2,
     mesh = mesh or mesh_utils.get_mesh()
     fov_batches = np.asarray(fov_batches, np.float32)
     n, h, w = fov_batches.shape
-    fov_len = w if fov_len is None else fov_len
+    # segment_fibers derives fov_len from the ROW count (its channel_xr
+    # shape is (fovs, rows, cols, channels) -> shape[1] = rows); matching
+    # it keeps the CLAHE tile geometry identical on non-square FOVs
+    fov_len = h if fov_len is None else fov_len
     n_pad = mesh_utils.pad_to_multiple(n, mesh.devices.size)
     if n_pad != n:
         pad = np.zeros((n_pad - n, h, w), np.float32)

@@ -27,6 +27,7 @@ conventions on top:
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Dict, List, Optional, Tuple
 
@@ -38,9 +39,11 @@ NC_ATTRIBUTE = 0x0C
 
 XARRAY_UNNAMED = "__xarray_dataarray_variable__"
 
-# nc_type -> numpy dtype (big-endian on disk)
+# nc_type -> numpy dtype (big-endian on disk). No unsigned entries:
+# every unsigned dtype must pass through coerce_nc3_dtype's checked cast
+# (uint8 values >= 128 would silently wrap as NC_BYTE otherwise).
 _NC_TO_NP = {1: ">i1", 2: "S1", 3: ">i2", 4: ">i4", 5: ">f4", 6: ">f8"}
-_NP_TO_NC = {"i1": 1, "u1": 1, "S1": 2, "i2": 3, "i4": 4, "f4": 5, "f8": 6}
+_NP_TO_NC = {"i1": 1, "S1": 2, "i2": 3, "i4": 4, "f4": 5, "f8": 6}
 
 
 def coerce_nc3_dtype(arr: np.ndarray) -> np.ndarray:
@@ -48,12 +51,17 @@ def coerce_nc3_dtype(arr: np.ndarray) -> np.ndarray:
     bool->int8, f16->f32; raises on values that do not fit (matching
     xarray.backends.netcdf3.coerce_nc3_dtype semantics)."""
     casts = {"int64": "int32", "uint64": "int32", "uint32": "int32",
-             "uint16": "int16", "bool": "int8", "float16": "float32"}
+             "uint16": "int16", "uint8": "int8", "bool": "int8",
+             "float16": "float32"}
     new = casts.get(str(arr.dtype))
     if new is None:
         return arr
     out = arr.astype(new)
-    if not (out.astype(arr.dtype) == arr).all():
+    # value-level comparison, NOT a cast-back round trip: uint8 200 ->
+    # int8 -56 -> uint8 200 wraps invertibly, so a round-trip check
+    # cannot detect overflow. == promotes to a common wide dtype.
+    wide = np.float64 if out.dtype.kind == "f" else np.int64
+    if not (out.astype(wide) == arr.astype(wide)).all():
         raise ValueError(
             f"could not safely cast {arr.dtype} to {new} for netCDF-3")
     return out
@@ -152,7 +160,10 @@ def write(path: str, values: np.ndarray, dims: List[str],
         v.begin = offset
         offset += len(v.payload)
 
-    with open(path, "wb") as f:
+    # atomic: a killed run must not leave a truncated file that resume
+    # logic (ensure_dist_matrices' exists-check) would treat as complete
+    tmp = path + ".tmp-nc3"
+    with open(tmp, "wb") as f:
         for b in header:
             f.write(b)
         for v, vh in zip(variables, var_headers):
@@ -160,6 +171,7 @@ def write(path: str, values: np.ndarray, dims: List[str],
             f.write(struct.pack(begin_fmt, v.begin))
         for v in variables:
             f.write(v.payload)
+    os.replace(tmp, path)
 
 
 class _Reader:

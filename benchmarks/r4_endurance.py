@@ -40,11 +40,14 @@ CKPT = os.path.join(REPO, "ark_tpu", "models", "checkpoints",
                     "mesmer_mini_synthetic.npz")
 
 
-def probe_attach(timeout_s=120):
-    r = subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
-                       timeout=timeout_s, capture_output=True)
-    if r.returncode != 0:
-        raise RuntimeError(f"attach probe failed: {r.stderr[-200:]}")
+def probe_attach():
+    """Reuses bench.py's watchdog (handles the observed outage mode where
+    jax.devices() hangs forever — a raw TimeoutExpired here would escape
+    as a traceback with no diagnostic)."""
+    from bench import _probe_attach
+    err = _probe_attach()
+    if err:
+        raise RuntimeError(err)
 
 
 def build_cohort(base, fovs, size):
@@ -55,9 +58,11 @@ def build_cohort(base, fovs, size):
     done_fovs = set(os.listdir(tiff_dir)) if os.path.isdir(tiff_dir) else ()
     todo = [f for f in fovs if f not in done_fovs]
     for i, fov in enumerate(todo):
+        # stable per-FOV seed: str hash() is salted per process, which
+        # would mix cohorts from different seeds across a crash-resume
         test_utils.create_image_cohort(
             tiff_dir, [fov], CHANNELS, shape=(size, size),
-            seed=hash(fov) % 2 ** 31, n_cells=150)
+            seed=12345 + int(fov.removeprefix("fov")), n_cells=150)
         if i % 20 == 0:
             print(f"[cohort] {i}/{len(todo)}", flush=True)
     return time.perf_counter() - t0
@@ -93,7 +98,8 @@ def run_segment_with_kill(base, fovs, kill_after_s):
             "kill_after_s": kill_after_s}
 
 
-def main(n_fovs=100, size=1024, base="/tmp/ark_endurance", fresh=True):
+def main(n_fovs=100, size=1024, base="/tmp/ark_endurance", fresh=True,
+         kill_after=None):
     probe_attach()
     if fresh and os.path.isdir(base):
         shutil.rmtree(base)
@@ -108,7 +114,8 @@ def main(n_fovs=100, size=1024, base="/tmp/ark_endurance", fresh=True):
     # the kill lands mid-segmentation at full scale (input generation for
     # 100 FOVs takes ~2-3 min first)
     res.update(run_segment_with_kill(
-        base, fovs, kill_after_s=150 if n_fovs <= 8 else 360))
+        base, fovs,
+        kill_after_s=kill_after or (150 if n_fovs <= 8 else 360)))
     print(f"[segment] {res}", flush=True)
 
     # stages 2-4 in-process (this process now owns the attach)
@@ -174,5 +181,7 @@ if __name__ == "__main__":
     p.add_argument("--base", default="/tmp/ark_endurance")
     p.add_argument("--keep", action="store_true",
                    help="reuse an existing cohort dir")
+    p.add_argument("--kill_after", type=int, default=None,
+                   help="seconds before the forced mid-segmentation kill")
     a = p.parse_args()
-    main(a.fovs, a.size, a.base, fresh=not a.keep)
+    main(a.fovs, a.size, a.base, fresh=not a.keep, kill_after=a.kill_after)

@@ -179,3 +179,40 @@ def test_calc_dist_matrix_writes_netcdf(tmp_path):
                        coords={"dim_0": [1, 2], "dim_1": [1, 2]})
     legacy.to_h5(str(tmp_path / "f9_dist_mat.xr"))
     assert sau.load_dist_matrix(str(tmp_path), "f9").shape == (2, 2)
+
+
+def test_uint8_coords_checked_cast(tmp_path):
+    """uint8 goes through the CHECKED int8 cast: small values round-trip,
+    values >= 128 raise instead of silently wrapping negative (review
+    finding: [1, 200] wrote as [1, -56])."""
+    ok = DataArray(np.ones((2, 2), np.float32),
+                   coords={"dim_0": np.array([1, 2], np.uint8),
+                           "dim_1": np.array([3, 4], np.uint8)})
+    p = tmp_path / "u8.xr"
+    ok.to_netcdf(str(p))
+    np.testing.assert_array_equal(
+        DataArray.from_file(str(p)).coords["dim_0"], [1, 2])
+    bad = DataArray(np.ones((2, 2), np.float32),
+                    coords={"dim_0": np.array([1, 200], np.uint8),
+                            "dim_1": np.array([3, 4], np.uint8)})
+    with pytest.raises(ValueError, match="safely cast"):
+        bad.to_netcdf(str(tmp_path / "bad.xr"))
+
+
+def test_write_is_atomic_no_partial_file(tmp_path, monkeypatch):
+    """A crash mid-write must leave NO file at the final path (resume
+    logic treats existence as completeness)."""
+    da = _sample_da()
+    path = tmp_path / "atomic.xr"
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise RuntimeError("simulated crash at commit point")
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        da.to_netcdf(str(path))
+    assert not path.exists()
+    monkeypatch.setattr(os, "replace", real_replace)
+    da.to_netcdf(str(path))
+    assert DataArray.from_file(str(path)).values.shape == (4, 4)
