@@ -147,9 +147,34 @@ def _optimize(emb0: jax.Array, heads: jax.Array, tails: jax.Array,
               negative_sample_rate: int = 5,
               initial_lr: float = 1.0, a: float = _A,
               b: float = _B) -> jax.Array:
-    """SGD over the UMAP cross-entropy, all edges per epoch."""
+    """SGD over the UMAP cross-entropy, all edges per epoch.
+
+    Update accumulation is two sorted `segment_sum`s per epoch instead of
+    six scatter-adds: the edge endpoints are loop-invariant, so heads/tails
+    are argsorted ONCE (XLA hoists it out of the scan) and every epoch's
+    per-edge updates are permuted into sorted order and segment-summed with
+    `indices_are_sorted=True` — the duplicate-index scatter-add that TPUs
+    serialize becomes a contiguous segmented reduction. All
+    `negative_sample_rate` negatives are drawn and accumulated in one
+    phase (gradients at the epoch-start embedding, like the attractive
+    phase) rather than five sequential scatter rounds; this is a different
+    SGD sample schedule than umap-learn's per-edge async loop, gated by the
+    embedding-quality goldens (tests/ops/test_umap_quality.py). Attach A/B
+    vs the scatter engine: benchmarks/r4_umap_ab.py, numbers in PERF.md."""
     n = emb0.shape[0]
     n_edges = heads.shape[0]
+
+    # loop-invariant sorted-segment machinery (hoisted out of the scan)
+    perm_h = jnp.argsort(heads)
+    sorted_heads = jnp.take(heads, perm_h)
+    perm_t = jnp.argsort(tails)
+    sorted_tails = jnp.take(tails, perm_t)
+
+    def seg_add(emb, update, perm, sorted_ids):
+        contrib = jax.ops.segment_sum(
+            jnp.take(update, perm, axis=0), sorted_ids,
+            num_segments=n, indices_are_sorted=True)
+        return emb + contrib
 
     def epoch(carry, t):
         emb, key = carry
@@ -167,10 +192,62 @@ def _optimize(emb0: jax.Array, heads: jax.Array, tails: jax.Array,
             0.0)
         attract = jnp.clip(grad_coef[:, None] * diff, -4.0, 4.0) \
             * weights[:, None]
+
+        # repulsion: all negative samples for every edge in one phase
+        key, sub = jax.random.split(key)
+        negs = jax.random.randint(
+            sub, (negative_sample_rate, n_edges), 0, n)
+        # explicit last dim: -1 can't be inferred when the static
+        # negative_sample_rate is 0 (size-0 reshape)
+        ne = jnp.take(emb, negs.reshape(-1), axis=0).reshape(
+            negative_sample_rate, n_edges, emb.shape[1])
+        ndiff = he[None, :, :] - ne
+        nd2 = jnp.sum(ndiff * ndiff, axis=2)
+        ncoef = 2.0 * b / ((0.001 + nd2) * (1.0 + a * nd2 ** b))
+        # clip per negative-sample contribution (as the sequential loop
+        # did), then accumulate over the sample axis
+        repel = jnp.sum(
+            jnp.clip(ncoef[:, :, None] * ndiff, -4.0, 4.0)
+            * weights[None, :, None], axis=0)
+
+        emb = seg_add(emb, lr * (attract + repel), perm_h, sorted_heads)
+        emb = seg_add(emb, -lr * attract, perm_t, sorted_tails)
+        return (emb, key), None
+
+    (emb, _), _ = jax.lax.scan(epoch, (emb0, key),
+                               jnp.arange(n_epochs, dtype=jnp.float32))
+    return emb
+
+
+@functools.partial(jax.jit, static_argnames=("n_epochs", "negative_sample_rate"))
+def _optimize_scatter(emb0: jax.Array, heads: jax.Array, tails: jax.Array,
+                      weights: jax.Array, key, n_epochs: int = 200,
+                      negative_sample_rate: int = 5,
+                      initial_lr: float = 1.0, a: float = _A,
+                      b: float = _B) -> jax.Array:
+    """The pre-r4 epoch loop (6 duplicate-index scatter-adds per epoch,
+    sequential negative-sample phases). Kept non-default for same-process
+    A/Bs against `_optimize` (benchmarks/r4_umap_ab.py)."""
+    n = emb0.shape[0]
+    n_edges = heads.shape[0]
+
+    def epoch(carry, t):
+        emb, key = carry
+        lr = initial_lr * (1.0 - t / n_epochs)
+        he = jnp.take(emb, heads, axis=0)
+        ta = jnp.take(emb, tails, axis=0)
+        diff = he - ta
+        d2 = jnp.sum(diff * diff, axis=1)
+        d2s = jnp.maximum(d2, 1e-8)
+        grad_coef = jnp.where(
+            d2 > 0.0,
+            -2.0 * a * b * d2s ** (b - 1.0) / (1.0 + a * d2s ** b),
+            0.0)
+        attract = jnp.clip(grad_coef[:, None] * diff, -4.0, 4.0) \
+            * weights[:, None]
         emb = emb.at[heads].add(lr * attract)
         emb = emb.at[tails].add(-lr * attract)
 
-        # repulsion: negative samples per edge
         def neg(carry, _):
             emb, key = carry
             key, sub = jax.random.split(key)
@@ -200,10 +277,10 @@ def umap_epoch_sharded(emb, heads, tails, weights, key, mesh, lr: float,
     """One UMAP optimization epoch with the EDGE list sharded over the
     mesh: each shard computes attract + negative-sample repel deltas for
     its edges against the epoch-start embedding; the (N, d) deltas `psum`
-    over ICI and apply once. Batch-synchronous — the sequential `_optimize`
-    epoch applies updates between its phases; this is the standard
-    data-parallel relaxation (same fixed points, slightly different
-    trajectory).
+    over ICI and apply once. Batch-synchronous like the single-device
+    `_optimize` epoch (since r4 both compute all phases against the
+    epoch-start embedding) — the standard data-parallel relaxation (same
+    fixed points, slightly different trajectory than per-edge async SGD).
 
     Edge count must be divisible by the mesh size — pad with
     (head=0, tail=0, weight=0) edges: zero weight zeroes both the attract

@@ -90,3 +90,45 @@ def test_umap_self_excluded_and_small_n(rng):
         assert i not in np.asarray(idx[i])
     emb = umap_ops.UMAP(n_epochs=20).fit_transform(data)
     assert emb.shape == (7, 2) and np.isfinite(emb).all()
+
+
+def test_optimize_segsum_matches_scatter_engine(rng):
+    """The r4 sorted-segment_sum accumulation must reproduce the scatter
+    engine exactly (up to summation-order float noise). With zero negative
+    samples the two engines compute identical per-edge updates, so any
+    difference is the accumulation machinery itself. Per-epoch reorder
+    noise (~1e-7) compounds through 10 epochs of the nonlinear dynamics to
+    ~1e-4 absolute — the tolerance reflects that, not a semantic gap."""
+    import jax
+    import jax.numpy as jnp
+
+    data, _ = _blobs(rng, n_per=30, d=6)
+    data = jnp.asarray(data)
+    k = 8
+    idx, dists = umap_ops._knn(data, k)
+    rho, sigma = umap_ops._smooth_knn(dists)
+    w = jnp.exp(-jnp.maximum(dists - rho[:, None], 0.0) / sigma[:, None])
+    n = data.shape[0]
+    heads = jnp.repeat(jnp.arange(n), k)
+    tails = idx.reshape(-1)
+    wflat = w.reshape(-1)
+    emb0 = umap_ops._pca(data, 2)
+    key = jax.random.PRNGKey(3)
+
+    a = np.asarray(umap_ops._optimize(
+        emb0, heads, tails, wflat, key, n_epochs=10,
+        negative_sample_rate=0))
+    b = np.asarray(umap_ops._optimize_scatter(
+        emb0, heads, tails, wflat, key, n_epochs=10,
+        negative_sample_rate=0))
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+    # with negatives the sample schedules differ by design; both must
+    # still produce finite, non-degenerate embeddings from the same key
+    a5 = np.asarray(umap_ops._optimize(
+        emb0, heads, tails, wflat, key, n_epochs=10))
+    b5 = np.asarray(umap_ops._optimize_scatter(
+        emb0, heads, tails, wflat, key, n_epochs=10))
+    for e in (a5, b5):
+        assert np.isfinite(e).all()
+        assert e.std(0).min() > 0
