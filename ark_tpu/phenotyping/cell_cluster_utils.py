@@ -78,9 +78,22 @@ def create_c2pc_data(fovs, pixel_data_path, cell_table_path,
     per_fov = []
     all_clusters = set()
     for fov in fovs:
+        fov_path = os.path.join(pixel_data_path, fov + ".feather")
+        # column-selected read: the counts need only the segmentation label
+        # + the cluster column — 2 of ~21 columns of each per-FOV frame
+        # (the full-frame read made this pass host-IO-bound at cohort
+        # scale; PERF.md endurance run). Schema-checked first so a missing
+        # column raises KeyError (like the pandas path), not ArrowInvalid.
+        present = feather.read_column_names(fov_path)
+        lbl_col = "segmentation_label" if "segmentation_label" in present \
+            else "label"
+        for c in (lbl_col, pixel_cluster_col):
+            if c not in present:
+                raise KeyError(
+                    f"FOV {fov} pixel data is missing column '{c}'")
         fov_pixel_data = feather.read_dataframe(
-            os.path.join(pixel_data_path, fov + ".feather"))
-        if "segmentation_label" in fov_pixel_data.columns:
+            fov_path, columns=[lbl_col, pixel_cluster_col])
+        if lbl_col == "segmentation_label":
             fov_pixel_data = fov_pixel_data.rename(
                 columns={"segmentation_label": "label"})
         lbl = fov_pixel_data["label"].values.astype(np.int64)

@@ -157,6 +157,30 @@ class PixelSOMCluster(PixieSOMCluster):
         self.som_clusters_seen.update(list(np.unique(labels)))
         return ext
 
+    def assign_som_clusters_table(self, table, normalize_data: bool = True,
+                                  num_parallel_pixels: int = 1_000_000):
+        """Arrow-Table variant of `assign_som_clusters`: only the channel
+        columns round-trip through pandas (they feed the BMU kernel and,
+        when `normalize_data`, are rewritten normalized — via the same
+        pandas `div` as the DataFrame path, so dtypes match); fov /
+        row_index / column_index / label pass through as arrow buffers.
+        Equivalence is pinned by
+        tests/phenotyping/test_arrow_pass_parity.py."""
+        cols = list(self.norm_data.columns)
+        verify_in_list(norm_data_cols=cols,
+                       external_data_cols=table.column_names)
+        sub = table.select(cols).to_pandas()
+        if normalize_data:
+            sub = sub.div(self.norm_data.iloc[0], axis=1)
+        labels = self.generate_som_clusters(
+            sub, num_parallel_obs=num_parallel_pixels)
+        self.som_clusters_seen.update(list(np.unique(labels)))
+        updates = {}
+        if normalize_data:
+            updates.update({c: sub[c] for c in cols})
+        updates["pixel_som_cluster"] = pd.Series(labels, index=sub.index)
+        return feather.table_set_columns(table, updates)
+
 
 class CellSOMCluster(PixieSOMCluster):
     def __init__(self, cell_data: pd.DataFrame, weights_path: pathlib.Path,
@@ -332,3 +356,13 @@ class PixieConsensusCluster:
         external_data[self.meta_col] = external_data[self.som_col].map(
             self.mapping.set_index(self.som_col)[self.meta_col])
         return external_data
+
+    def assign_consensus_labels_table(self, table):
+        """Arrow-Table variant of `assign_consensus_labels`: reads only the
+        SOM-label column into pandas, maps it through the SOM→meta table
+        with the same `Series.map`, and passes every other column through
+        as arrow buffers (the per-FOV consensus pass rewrites ~70 MB
+        frames to add this one small column)."""
+        som = table.column(self.som_col).to_pandas()
+        meta = som.map(self.mapping.set_index(self.som_col)[self.meta_col])
+        return feather.table_set_columns(table, {self.meta_col: meta})

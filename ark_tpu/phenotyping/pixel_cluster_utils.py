@@ -174,10 +174,29 @@ def compute_pixel_cluster_channel_avg(fovs, channels, base_dir,
         if num_fovs_subset < len(fovs) else list(fovs)
 
     per_fov = []
+    need_cols = list(channels) + [pixel_cluster_col]
     for fov in fovs_sub:
+        fov_path = os.path.join(base_dir, pixel_data_dir, fov + ".feather")
         try:
-            fov_data = feather.read_dataframe(
-                os.path.join(base_dir, pixel_data_dir, fov + ".feather"))
+            # column-selected read: the groupby needs channels + the
+            # cluster col only; skipping fov/coordinate/label columns
+            # avoids deserializing ~20% of every per-FOV frame. The schema
+            # is checked FIRST: a column-selected read of a file missing a
+            # column raises ArrowInvalid, which the corrupt-file catch
+            # below would silently swallow — a missing cluster column is a
+            # pipeline-order bug and must crash (as the pandas path's
+            # KeyError did)
+            present = feather.read_column_names(fov_path)
+        except FEATHER_READ_ERRORS:
+            print(f"The data for FOV {fov} has been corrupted, skipping")
+            continue
+        missing = [c for c in need_cols if c not in present]
+        if missing:
+            raise KeyError(
+                f"FOV {fov} pixel data is missing columns {missing}; "
+                f"run the preceding clustering stage first")
+        try:
+            fov_data = feather.read_dataframe(fov_path, columns=need_cols)
         except FEATHER_READ_ERRORS:
             print(f"The data for FOV {fov} has been corrupted, skipping")
             continue

@@ -23,15 +23,20 @@ from ark_tpu.phenotyping import cluster_helpers, pixel_cluster_utils
 
 def run_pixel_consensus_assignment(pixel_data_path, pixel_cc_obj,
                                    fov) -> Tuple[str, int]:
-    """Assign meta-cluster labels to one FOV feather via the SOM→meta map."""
+    """Assign meta-cluster labels to one FOV feather via the SOM→meta map.
+
+    Arrow-Table passthrough: only the SOM-label column is deserialized; the
+    ~20 untouched columns copy buffer-to-buffer (the pandas round trip made
+    this pass host-IO-bound at cohort scale — PERF.md endurance run).
+    Parity: tests/phenotyping/test_arrow_pass_parity.py."""
     fov_path = os.path.join(pixel_data_path, fov + ".feather")
     try:
-        fov_data = feather.read_dataframe(fov_path)
+        fov_table = feather.read_table(fov_path)
     except pixel_cluster_utils.FEATHER_READ_ERRORS:
         return fov, 1
-    fov_data = pixel_cc_obj.assign_consensus_labels(fov_data)
+    fov_table = pixel_cc_obj.assign_consensus_labels_table(fov_table)
     temp_path = os.path.join(pixel_data_path + "_temp", fov + ".feather")
-    feather.write_dataframe(fov_data, temp_path, compression="uncompressed")
+    feather.write_table(fov_table, temp_path, compression="uncompressed")
     return fov, 0
 
 
@@ -134,20 +139,28 @@ def generate_meta_avg_files(fovs, channels, base_dir, pixel_cc,
 
 def update_pixel_meta_labels(pixel_data_path, pixel_remapped_dict,
                              pixel_renamed_meta_dict, fov) -> Tuple[str, int]:
-    """Apply the GUI remap (SOM→meta + meta→name) to one FOV feather."""
+    """Apply the GUI remap (SOM→meta + meta→name) to one FOV feather.
+
+    Arrow-Table passthrough like `run_pixel_consensus_assignment`: the
+    SOM-label column is the only one deserialized; the two remapped columns
+    are computed with the same `Series.map`s as the DataFrame path and
+    replace-or-append in the same positions.
+    Parity: tests/phenotyping/test_arrow_pass_parity.py."""
     fov_path = os.path.join(pixel_data_path, fov + ".feather")
     try:
-        fov_data = feather.read_dataframe(fov_path)
+        fov_table = feather.read_table(fov_path)
     except pixel_cluster_utils.FEATHER_READ_ERRORS:
         return fov, 1
-    verify_in_list(fov_som_labels=fov_data["pixel_som_cluster"].unique(),
+    som = fov_table.column("pixel_som_cluster").to_pandas()
+    verify_in_list(fov_som_labels=som.unique(),
                    som_labels_in_mapping=list(pixel_remapped_dict.keys()))
-    fov_data["pixel_meta_cluster"] = fov_data["pixel_som_cluster"].map(
-        pixel_remapped_dict)
-    fov_data["pixel_meta_cluster_rename"] = fov_data["pixel_meta_cluster"].map(
-        pixel_renamed_meta_dict)
+    meta = som.map(pixel_remapped_dict)
+    rename = meta.map(pixel_renamed_meta_dict)
+    fov_table = feather.table_set_columns(
+        fov_table, {"pixel_meta_cluster": meta,
+                    "pixel_meta_cluster_rename": rename})
     temp_path = os.path.join(pixel_data_path + "_temp", fov + ".feather")
-    feather.write_dataframe(fov_data, temp_path, compression="uncompressed")
+    feather.write_table(fov_table, temp_path, compression="uncompressed")
     return fov, 0
 
 

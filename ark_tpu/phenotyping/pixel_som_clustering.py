@@ -49,19 +49,27 @@ def train_pixel_som(fovs, channels, base_dir,
 def run_pixel_som_assignment(pixel_data_path, pixel_pysom_obj, overwrite,
                              num_parallel_pixels, fov) -> Tuple[str, int]:
     """Assign SOM labels to one FOV's pixel feather; write to the temp dir.
-    Returns (fov, 0) on success or (fov, 1) for a corrupted file."""
+    Returns (fov, 0) on success or (fov, 1) for a corrupted file.
+
+    Runs on arrow Tables end to end: only the channel columns are
+    deserialized (they feed the BMU kernel and are rewritten normalized);
+    fov/coordinate/label columns pass straight from the input buffers to
+    the output file. The pandas round trip made this pass host-IO-bound at
+    cohort scale (PERF.md 100-FOV endurance run); read-back parity with
+    the DataFrame path is pinned by
+    tests/phenotyping/test_arrow_pass_parity.py."""
     fov_path = os.path.join(pixel_data_path, fov + ".feather")
     try:
-        fov_data = feather.read_dataframe(fov_path)
+        fov_table = feather.read_table(fov_path)
     except pixel_cluster_utils.FEATHER_READ_ERRORS:
         return fov, 1
-    if overwrite:
-        fov_data = fov_data.drop(columns="pixel_som_cluster", errors="ignore")
-    fov_data = pixel_pysom_obj.assign_som_clusters(
-        fov_data, normalize_data=not overwrite,
+    if overwrite and "pixel_som_cluster" in fov_table.column_names:
+        fov_table = fov_table.drop_columns(["pixel_som_cluster"])
+    fov_table = pixel_pysom_obj.assign_som_clusters_table(
+        fov_table, normalize_data=not overwrite,
         num_parallel_pixels=num_parallel_pixels)
     temp_path = os.path.join(pixel_data_path + "_temp", fov + ".feather")
-    feather.write_dataframe(fov_data, temp_path, compression="uncompressed")
+    feather.write_table(fov_table, temp_path, compression="uncompressed")
     return fov, 0
 
 
