@@ -12,6 +12,7 @@ the reference cell-table schema (docs/_rtd/data_types.md)."""
 from __future__ import annotations
 
 import copy
+import os
 import re
 import warnings
 from typing import List
@@ -434,9 +435,18 @@ def generate_cell_table(segmentation_dir, tiff_dir, img_sub_folder="TIFs",
                         is_mibitiff=False, fovs=None,
                         extraction="total_intensity", nuclear_counts=False,
                         fast_extraction=False, mask_types=None,
-                        add_underscore=True, **kwargs):
+                        add_underscore=True, checkpoint_dir=None, **kwargs):
     """Cohort cell-table driver: per FOV × mask type, extract + concatenate
-    (reference :455-593)."""
+    (reference :455-593).
+
+    `checkpoint_dir` (repo extension; the reference loop at :455-593 is
+    monolithic) enables per-FOV resume like the pixie stages: each FOV's
+    extracted tables are written there atomically as they complete, and a
+    rerun loads finished FOVs from disk instead of re-extracting them. A
+    parameter manifest invalidates parts written under different settings;
+    the concatenated result is bitwise-identical to a straight run (pickle
+    round trip preserves dtypes + index; parity test in
+    tests/segmentation/test_quantification_resume.py)."""
     mask_types = ["whole_cell"] if mask_types is None else mask_types
     if fovs is None:
         fovs = io_utils.list_folders(tiff_dir)
@@ -445,8 +455,28 @@ def generate_cell_table(segmentation_dir, tiff_dir, img_sub_folder="TIFs",
                    extraction_options=list(EXTRACTION_FUNCTION.keys()))
     fovs = sorted(fovs)
 
+    if checkpoint_dir is not None:
+        _reconcile_quant_checkpoint(
+            checkpoint_dir,
+            dict(extraction=extraction, nuclear_counts=nuclear_counts,
+                 fast_extraction=fast_extraction, mask_types=mask_types,
+                 add_underscore=add_underscore,
+                 img_sub_folder=img_sub_folder,
+                 kwargs=sorted((k, repr(v)) for k, v in kwargs.items())))
+
     normalized_tables, arcsinh_tables = [], []
     for fov_name in fovs:
+        part_path = os.path.join(checkpoint_dir, fov_name + ".quant.pkl") \
+            if checkpoint_dir is not None else None
+        if part_path is not None and os.path.exists(part_path):
+            try:
+                norm_parts, arcsinh_parts = pd.read_pickle(part_path)
+                normalized_tables.extend(norm_parts)
+                arcsinh_tables.extend(arcsinh_parts)
+                continue
+            except Exception:
+                pass  # corrupted part: fall through and re-extract this FOV
+        fov_norm_parts, fov_arcsinh_parts = [], []
         image_data = load_utils.load_imgs_from_tree(
             data_dir=tiff_dir, img_sub_folder=img_sub_folder, fovs=[fov_name])
         for mask_type in mask_types:
@@ -496,11 +526,48 @@ def generate_cell_table(segmentation_dir, tiff_dir, img_sub_folder="TIFs",
                 if mask_type == "final_cells_remaining" else mask_type
             normalized["mask_type"] = mask_type_str
             arcsinh["mask_type"] = mask_type_str
-            normalized_tables.append(normalized)
-            arcsinh_tables.append(arcsinh)
+            fov_norm_parts.append(normalized)
+            fov_arcsinh_parts.append(arcsinh)
+
+        normalized_tables.extend(fov_norm_parts)
+        arcsinh_tables.extend(fov_arcsinh_parts)
+        if part_path is not None:
+            # atomic part commit: a kill mid-write leaves a .tmp the rerun
+            # ignores, never a truncated part that read_pickle would load
+            tmp = part_path + ".tmp"
+            pd.to_pickle((fov_norm_parts, fov_arcsinh_parts), tmp)
+            os.replace(tmp, part_path)
 
     return (pd.concat(normalized_tables),
             pd.concat(arcsinh_tables))
+
+
+def _reconcile_quant_checkpoint(checkpoint_dir, params):
+    """Create/validate the cell-table checkpoint dir: parts written under
+    different extraction settings are stale — wipe them and rewrite the
+    manifest so a resumed run never mixes configurations."""
+    import json
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    manifest_path = os.path.join(checkpoint_dir, "quant_manifest.json")
+    manifest = json.dumps(params, sort_keys=True, default=repr)
+    existing = None
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                existing = f.read()
+        except OSError:
+            pass
+    if existing != manifest:
+        if existing is not None:
+            print("Cell-table extraction settings changed: discarding "
+                  "checkpointed FOV parts")
+        for f in os.listdir(checkpoint_dir):
+            if f.endswith(".quant.pkl") or f.endswith(".tmp"):
+                os.remove(os.path.join(checkpoint_dir, f))
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(manifest)
+        os.replace(tmp, manifest_path)
 
 
 def get_existing_mask_types(fov_names: List[str],

@@ -47,12 +47,15 @@ def main(base_dir, nuc_channels, mem_channels, img_sub_folder=None,
         deepcell_input_dir, deepcell_output_dir, fovs=fovs,
         weights_path=weights_path)
 
-    # 3. extract the cell table (size-normalized + arcsinh)
+    # 3. extract the cell table (size-normalized + arcsinh); per-FOV parts
+    # checkpoint into cell_table/parts so a killed run resumes instead of
+    # re-extracting the whole cohort
     cell_table_size_norm, cell_table_arcsinh = \
         marker_quantification.generate_cell_table(
             segmentation_dir=deepcell_output_dir, tiff_dir=tiff_dir,
             img_sub_folder=img_sub_folder, fovs=fovs,
-            nuclear_counts=nuclear_counts, fast_extraction=fast_extraction)
+            nuclear_counts=nuclear_counts, fast_extraction=fast_extraction,
+            checkpoint_dir=os.path.join(cell_table_dir, "parts"))
 
     cell_table_size_norm.to_csv(
         os.path.join(cell_table_dir, "cell_table_size_normalized.csv"),
