@@ -223,8 +223,10 @@ def compute_kmeans_inertia(neighbor_mat_data, min_k=2, max_k=10, seed=42):
 def compute_kmeans_silhouette(neighbor_mat_data, min_k=2, max_k=10, seed=42,
                               subsample=None):
     """Silhouette-score sweep over k (labels from the TPU k-means; score via
-    sklearn on host; reference :376-427)."""
-    import sklearn.metrics
+    the blocked device silhouette kernel, `ops/distances.silhouette_score` —
+    sklearn-oracle-tested; reference :376-427). The per-cluster `subsample`
+    semantics (sample-with-replacement when a cluster is smaller than the
+    subsample, seeded) match the reference's groupby-sample."""
     ks = np.arange(min_k, max_k + 1)
     data = np.asarray(neighbor_mat_data, np.float32)
     stats = np.zeros(len(ks))
@@ -233,12 +235,15 @@ def compute_kmeans_silhouette(neighbor_mat_data, min_k=2, max_k=10, seed=42,
         sub_dat = pd.DataFrame(data)
         sub_dat["cluster"] = labels
         if subsample is not None:
+            # pandas 3.0 groupby.apply excludes the group column from the
+            # sampled frame; restore it from the group-key index level
             sub_dat = sub_dat.groupby("cluster").apply(
                 lambda x: x.sample(subsample, replace=len(x) < subsample,
-                                   random_state=seed)).reset_index(drop=True)
-        stats[i] = sklearn.metrics.silhouette_score(
-            sub_dat.drop("cluster", axis=1), sub_dat["cluster"],
-            metric="euclidean")
+                                   random_state=seed)
+            ).reset_index(level=0).reset_index(drop=True)
+        stats[i] = dist_ops.silhouette_score(
+            sub_dat.drop("cluster", axis=1).to_numpy(np.float32),
+            sub_dat["cluster"].to_numpy())
     return DataArray(stats, coords={"cluster_num": ks})
 
 
