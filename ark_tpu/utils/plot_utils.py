@@ -63,48 +63,46 @@ class MetaclusterColormap:
         self._metacluster_cmap_generator()
 
     def _metacluster_cmap_generator(self) -> None:
-        cluster_id_to_name = pd.read_csv(self.cluster_id_to_name_path)
+        """Build the id-ordered color table for this cluster type's masks.
+
+        Behavioral contract (shared with the reference MetaclusterColormap,
+        plot_utils.py:41-169, because mask integers must land on the right
+        colors): row i of the color table colors mask value i — background
+        id 0 is black, every real cluster_id takes its metacluster's entry
+        from `metacluster_colors`, and a trailing "Unassigned" id = max+1
+        is light gray; the BoundaryNorm centers each integer on its bin.
+        """
+        meta_col = f"{self.cluster_type}_meta_cluster"
+        rename_col = f"{self.cluster_type}_meta_cluster_rename"
+        mapping = pd.read_csv(self.cluster_id_to_name_path)
         verify_in_list(
-            required_cols=[f"{self.cluster_type}_som_cluster",
-                           f"{self.cluster_type}_meta_cluster",
-                           f"{self.cluster_type}_meta_cluster_rename",
-                           "cluster_id"],
-            cluster_mapping_cols=cluster_id_to_name.columns.values)
-        metacluster_id_to_name = cluster_id_to_name[
-            [f"{self.cluster_type}_meta_cluster",
-             f"{self.cluster_type}_meta_cluster_rename", "cluster_id"]].copy()
-        unassigned_meta_cluster = int(
-            metacluster_id_to_name[f"{self.cluster_type}_meta_cluster"].max()
-            + 1)
-        unassigned_cluster_id = int(
-            metacluster_id_to_name["cluster_id"].max() + 1)
-        self.unassigned_id = unassigned_cluster_id
-        metacluster_id_to_name = pd.concat([
-            metacluster_id_to_name.drop_duplicates(),
-            pd.DataFrame(data={
-                f"{self.cluster_type}_meta_cluster":
-                    [unassigned_meta_cluster, 0],
-                f"{self.cluster_type}_meta_cluster_rename":
-                    ["Unassigned", "Empty"],
-                "cluster_id": [unassigned_cluster_id, 0]})])
-        self.metacluster_colors.update(
-            {unassigned_meta_cluster: self.unassigned_color})
-        self.metacluster_colors.update({0: self.background_color})
+            required_cols=[f"{self.cluster_type}_som_cluster", meta_col,
+                           rename_col, "cluster_id"],
+            cluster_mapping_cols=mapping.columns.values)
+
+        table = mapping[[meta_col, rename_col, "cluster_id"]] \
+            .drop_duplicates()
+        unassigned_meta = int(table[meta_col].max() + 1)
+        self.unassigned_id = int(table["cluster_id"].max() + 1)
+        sentinels = pd.DataFrame({
+            meta_col: [unassigned_meta, 0],
+            rename_col: ["Unassigned", "Empty"],
+            "cluster_id": [self.unassigned_id, 0]})
+        table = pd.concat([table, sentinels])
+        self.metacluster_colors |= {unassigned_meta: self.unassigned_color,
+                                    0: self.background_color}
         verify_same_elements(
             metacluster_colors_ids=list(self.metacluster_colors.keys()),
-            metacluster_mapping_ids=metacluster_id_to_name[
-                f"{self.cluster_type}_meta_cluster"].values)
-        metacluster_id_to_name["color"] = metacluster_id_to_name[
-            f"{self.cluster_type}_meta_cluster"].map(self.metacluster_colors)
-        metacluster_id_to_name = metacluster_id_to_name.sort_values(
-            by="cluster_id").reset_index(drop=True)
-        mc_colors = np.array(metacluster_id_to_name["color"].to_list())
-        self.metacluster_id_to_name = metacluster_id_to_name
-        self.mc_colors = mc_colors
-        self.cmap = colors.ListedColormap(mc_colors)
+            metacluster_mapping_ids=table[meta_col].values)
+
+        table["color"] = table[meta_col].map(self.metacluster_colors)
+        self.metacluster_id_to_name = table.sort_values(
+            "cluster_id", ignore_index=True)
+        self.mc_colors = np.array(
+            self.metacluster_id_to_name["color"].to_list())
+        self.cmap = colors.ListedColormap(self.mc_colors)
         self.norm = colors.BoundaryNorm(
-            np.linspace(0, len(mc_colors), len(mc_colors) + 1) - 0.5,
-            len(mc_colors))
+            np.arange(len(self.mc_colors) + 1) - 0.5, len(self.mc_colors))
 
 
 def _cmap_add_background_unassigned(cluster_colors: np.ndarray):
