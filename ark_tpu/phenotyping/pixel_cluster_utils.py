@@ -318,8 +318,14 @@ def commit_temp_dir(data_path: str) -> None:
 
     temp_path = data_path + "_temp"
     intact = valid_temp_files(data_path)
-    for f in io_utils.list_files(data_path, substrs=".feather"):
-        if f not in intact:
+    # move EVERY file the stage didn't (re)produce, not just feathers: the
+    # per-FOV quantile CSV (the cohort normalization ledger
+    # create_pixel_matrix deliberately keeps) lives in the data dir and was
+    # silently deleted by the feather-only sweep — after which an
+    # incremental preprocess run would rebuild the cohort norm from only
+    # the newly added FOVs
+    for f in os.listdir(data_path):
+        if f not in intact and os.path.isfile(os.path.join(data_path, f)):
             shutil.move(os.path.join(data_path, f),
                         os.path.join(temp_path, f))
     marker = os.path.join(temp_path, _STAGE_MARKER)

@@ -1,0 +1,427 @@
+"""Single-sweep pixie pixel stage: the SURVEY.md §7 stage-boundary design.
+
+The reference pipeline (``pixie_preprocessing.py:188-456`` +
+``pixel_som_clustering.py:139-289`` + ``pixel_meta_clustering.py:53-188``)
+walks the cohort many times, persisting every intermediate: the channel
+percentile pass reloads each FOV's TIFF tree once per channel, the
+threshold pass reloads it whole, preprocessing reloads it again and writes
+a full per-FOV feather, SOM assignment reads + rewrites that feather, and
+meta assignment reads + rewrites it once more. At 100×1024² that multi-pass
+feather dance is 66% of cohort wall time (PERF.md r4 endurance run) while
+the device compute is <1% of the stage.
+
+``run_pixel_clustering`` produces *identical artifacts* (bitwise — pinned by
+tests/phenotyping/test_pixie_fused.py) from a minimal-IO schedule built
+around the three genuine cohort barriers (channel norms → pixel threshold →
+trained SOM → consensus):
+
+  stats     one TIFF load + one upload per FOV; per-channel percentiles and
+            the q05 threshold statistic come back as scalars, and the
+            blurred/row-normalized matrix comes back ONCE and is stashed
+            (local .npz) for the later phases — no further device uploads
+            of raw data, no re-reads of the TIFF tree.
+  subset    host-only: validity mask, seeded subset sample, per-FOV 99.9%
+            quantile (exact pandas semantics), subset feather.
+  train     unchanged (``pixel_som_clustering.train_pixel_som``).
+  assign    per FOV: one upload of the valid rows, fused BMU kernel, and
+            the full feather is written ONCE — already norm-divided (the
+            multi-pass path rewrites it) and already carrying the SOM
+            label column. The f64 normalize uses ``np.divide(..., out=)``
+            (bitwise-equal to the pandas upcast div, ~50× faster).
+  meta      unchanged (consensus + the r4 arrow-passthrough label pass +
+            avg CSV generators), so GUI remap re-entry and all resume
+            semantics keep working on the fused outputs.
+
+Resume: every artifact this writes is the same file the multi-pass stage
+writes, so a killed fused run can be resumed by either driver; per-FOV
+skip rules mirror ``create_pixel_matrix``'s.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from shutil import rmtree
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ark_tpu.io import feather_utils as feather
+from ark_tpu.io import io_utils, load_utils
+from ark_tpu.io.image_utils import read_image
+from ark_tpu.io.misc_utils import verify_in_list
+from ark_tpu.ops import quantiles
+from ark_tpu.ops import som as som_ops
+from ark_tpu.phenotyping import (pixel_cluster_utils, pixel_meta_clustering,
+                                 pixel_som_clustering, pixie_preprocessing)
+
+
+@functools.partial(jax.jit, static_argnames=("percentile",))
+def _channel_percentiles_device(img: jax.Array, percentile: float):
+    """Per-channel nonzero quantile of an (H, W, C) image in one dispatch.
+
+    Must match per-channel ``quantiles.nonzero_quantile(img[..., c], q)``
+    calls bitwise (the multi-pass ``calculate_channel_percentiles`` path,
+    reference pixel_cluster_utils.py:16-60); parity is asserted in
+    tests/phenotyping/test_pixie_fused.py on both backends.
+    """
+    cols = img.reshape(-1, img.shape[-1]).T  # (C, H*W)
+    return jax.vmap(
+        lambda col: quantiles.nonzero_quantile(col, percentile))(cols)
+
+
+@functools.partial(jax.jit, static_argnames=("blur_factor",))
+def _prep_fov_parts(img: jax.Array, blur_factor: int = 2):
+    """Threshold-independent per-FOV preprocess: the same traced graph as
+    the multi-pass ``_prep_fov_device`` (shared inner), minus the valid
+    mask — ``valid = (rowsums > thresh) & anynz`` is left to the host
+    because the threshold is a cohort statistic not yet known here.
+    img: (H, W, C) channel-normalized. Returns (norm, rowsums, anynz)."""
+    return pixie_preprocessing._prep_fov_parts_inner(img, blur_factor)
+
+
+def _intensity_q05(img_norm_dev: jax.Array) -> float:
+    """q05 of channel-normalized total signal — the per-FOV statistic of
+    ``calculate_pixel_intensity_percentile`` (reference :63-106), from the
+    device-resident channel-normalized image instead of a second TIFF pass.
+    Eager sum + the same quantile op keep it bitwise-equal to the
+    multi-pass path."""
+    summed = jnp.sum(img_norm_dev, axis=-1)
+    return float(quantiles.quantile(summed, 0.05))
+
+
+def _load_fov_raw(tiff_dir, fov, channels, img_sub_folder, is_mibitiff,
+                  seg_dir, seg_suffix):
+    """One TIFF-tree load per FOV: (H, W, C) f32 in the given channel order
+    plus the segmentation labels (or None)."""
+    if is_mibitiff:
+        img_xr = load_utils.load_imgs_from_mibitiff(
+            tiff_dir, mibitiff_files=[fov + ".tiff"])
+    else:
+        img_xr = load_utils.load_imgs_from_tree(
+            tiff_dir, img_sub_folder=img_sub_folder, fovs=[fov])
+    verify_in_list(provided_chans=channels,
+                   pixel_mat_chans=list(img_xr.coords["channels"]))
+    seg_labels = None
+    if seg_dir is not None:
+        seg_labels = read_image(os.path.join(seg_dir, fov + seg_suffix))
+    raw = img_xr.sel(fovs=fov, channels=channels).values.astype(np.float32)
+    return raw, seg_labels
+
+
+def _stash_path(cache_dir, fov):
+    return os.path.join(cache_dir, fov + ".stash.npz")
+
+
+def _atomic_npz(path, **arrays):
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def _data_feather_has_som(data_path, fov):
+    p = os.path.join(data_path, fov + ".feather")
+    if not os.path.exists(p):
+        return False
+    try:
+        return "pixel_som_cluster" in feather.read_column_names(p)
+    except pixel_cluster_utils.FEATHER_READ_ERRORS:
+        return False
+
+
+def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
+                         img_sub_folder="TIFs",
+                         seg_suffix="_whole_cell.tiff",
+                         pixel_output_dir="pixel_output_dir",
+                         data_dir="pixel_mat_data",
+                         subset_dir="pixel_mat_subsetted",
+                         norm_vals_name_pre_rownorm="channel_norm_pre_rownorm.feather",
+                         norm_vals_name_post_rownorm="channel_norm_post_rownorm.feather",
+                         pixel_thresh_name="pixel_thresh.feather",
+                         channel_percentile_pre_rownorm=0.99,
+                         channel_percentile_post_rownorm=0.999,
+                         is_mibitiff=False, blur_factor=2,
+                         subset_proportion=0.1, seed=42, max_k=20, cap=3,
+                         xdim=10, ydim=10, lr_start=0.05, lr_end=0.01,
+                         num_passes=1,
+                         som_weights_name="pixel_som_weights.feather",
+                         pc_chan_avg_som_cluster_name="pixel_channel_avg_som_cluster.csv",
+                         pc_chan_avg_meta_cluster_name="pixel_channel_avg_meta_cluster.csv",
+                         num_fovs_subset=100, keep_cache=False):
+    """Preprocess + SOM-cluster + meta-cluster the pixel cohort in one sweep.
+
+    Produces the exact artifact set of ``create_pixel_matrix`` →
+    ``train_pixel_som`` → ``cluster_pixels`` → ``generate_som_avg_files`` →
+    ``pixel_consensus_cluster`` → ``generate_meta_avg_files`` (template 2
+    steps 1-3), bitwise, with one TIFF load, one device round trip of the
+    pixel matrix, and one full-feather write per FOV. Returns
+    (pixel_pysom, pixel_cc) like the individual steps do.
+    """
+    channels = io_utils.natsorted(channels)
+    if subset_proportion <= 0 or subset_proportion > 1:
+        raise ValueError("Invalid subset percentage entered: must be in (0, 1]")
+    io_utils.validate_paths([base_dir, tiff_dir])
+    os.makedirs(os.path.join(base_dir, pixel_output_dir), exist_ok=True)
+    data_path = os.path.join(base_dir, data_dir)
+    subset_path = os.path.join(base_dir, subset_dir)
+    os.makedirs(data_path, exist_ok=True)
+    os.makedirs(subset_path, exist_ok=True)
+    cache_dir = os.path.join(base_dir, pixel_output_dir, "_fused_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+
+    channel_norm_pre_path = os.path.join(base_dir, pixel_output_dir,
+                                         norm_vals_name_pre_rownorm)
+    pixel_thresh_path = os.path.join(base_dir, pixel_output_dir,
+                                     pixel_thresh_name)
+    norm_post_path = os.path.join(base_dir, norm_vals_name_post_rownorm)
+    quantile_path = os.path.join(base_dir, data_dir,
+                                 "channel_norm_post_rownorm_perfov.csv")
+
+    # channel-set change invalidates the whole cohort (reference :281-297)
+    if os.path.exists(channel_norm_pre_path):
+        prev = feather.read_dataframe(channel_norm_pre_path)
+        if set(prev.columns.values) != set(channels):
+            print("New channels provided: overwriting whole cohort")
+            for d in (data_path, subset_path, cache_dir):
+                rmtree(d)
+                os.mkdir(d)
+            os.remove(channel_norm_pre_path)
+            if os.path.exists(pixel_thresh_path):
+                os.remove(pixel_thresh_path)
+
+    pixel_cluster_utils.check_for_modified_channels(
+        tiff_dir=tiff_dir, test_fov=fovs[0], img_sub_folder=img_sub_folder,
+        channels=channels)
+
+    # ---- phase: per-FOV device sweep (stats + norm matrix, one upload) ----
+    need_channel_norm = not os.path.exists(channel_norm_pre_path)
+    need_thresh = not os.path.exists(pixel_thresh_path)
+    channel_norm_df = None if need_channel_norm \
+        else feather.read_dataframe(channel_norm_pre_path)
+
+    def fov_complete(fov):
+        return (os.path.exists(os.path.join(subset_path, fov + ".feather"))
+                and _data_feather_has_som(data_path, fov))
+
+    if need_channel_norm:
+        # cohort percentile pass: per-FOV per-channel nonzero quantiles,
+        # FOVs without positive pixels for a channel are excluded from that
+        # channel's mean (reference pixel_cluster_utils.py:16-60)
+        per_fov_vals, per_fov_haspos = [], []
+        for fov in fovs:
+            raw, _ = _load_fov_raw(tiff_dir, fov, channels, img_sub_folder,
+                                   is_mibitiff, seg_dir, seg_suffix)
+            dev = jnp.asarray(raw, jnp.float32)
+            vals = np.asarray(_channel_percentiles_device(
+                dev, channel_percentile_pre_rownorm))
+            per_fov_vals.append([float(v) for v in vals])
+            per_fov_haspos.append((raw > 0).any(axis=(0, 1)))
+        means = []
+        for ci in range(len(channels)):
+            vs = [per_fov_vals[fi][ci] for fi in range(len(fovs))
+                  if per_fov_haspos[fi][ci]]
+            means.append(np.mean(vs))
+        channel_norm_df = pd.DataFrame(np.expand_dims(means, 0),
+                                       columns=channels)
+        channel_norm_df = channel_norm_df[
+            io_utils.natsorted(channel_norm_df.columns)]
+        feather.write_dataframe(channel_norm_df, channel_norm_pre_path,
+                                compression="uncompressed")
+
+    # two normalization vectors, matching the multi-pass path exactly: the
+    # q05 stat divides in f32 on device (calculate_pixel_intensity_percentile
+    # :63-106) while preprocessing divides in f64 on host then casts
+    # (preprocess_fov :110-112) — last-ulp different, both replicated
+    norm_vect_f64 = channel_norm_df.iloc[0].values.reshape(1, 1, -1)
+    norm_vect_f32 = jnp.asarray(
+        channel_norm_df.iloc[0].values.astype(np.float32))
+
+    # norm-matrix sweep: one TIFF load per FOV; q05 rides along while the
+    # threshold artifact is still missing
+    q05s = {}
+    for fov in fovs:
+        stash = _stash_path(cache_dir, fov)
+        has_stash = os.path.exists(stash)
+        if has_stash and not need_thresh:
+            continue
+        if has_stash and need_thresh:
+            try:
+                q05s[fov] = float(np.load(stash)["q05"])
+                continue
+            except Exception:
+                pass  # corrupted stash: recompute below
+        if fov_complete(fov) and not need_thresh:
+            continue
+        raw, _ = _load_fov_raw(tiff_dir, fov, channels, img_sub_folder,
+                               is_mibitiff, seg_dir, seg_suffix)
+        q05 = _intensity_q05(
+            jnp.asarray(raw, jnp.float32) / norm_vect_f32)
+        q05s[fov] = q05
+        if not fov_complete(fov):
+            dev_prep = jnp.asarray(raw / norm_vect_f64, jnp.float32)
+            norm, rowsums, anynz = _prep_fov_parts(
+                dev_prep, blur_factor=blur_factor)
+            _atomic_npz(stash, norm=np.asarray(norm),
+                        rowsums=np.asarray(rowsums),
+                        anynz=np.asarray(anynz), q05=np.float32(q05),
+                        shape=np.array(raw.shape[:2]))
+
+    if need_thresh:
+        pixel_thresh_val = float(np.mean([q05s[f] for f in fovs]))
+        feather.write_dataframe(
+            pd.DataFrame({"pixel_thresh_val": [pixel_thresh_val]}),
+            pixel_thresh_path, compression="uncompressed")
+    else:
+        pixel_thresh_val = feather.read_dataframe(
+            pixel_thresh_path)["pixel_thresh_val"].values[0]
+
+    # ---- phase: host-only subset + per-FOV 99.9% quantile ----
+    quant_dat_all = pd.read_csv(quantile_path, index_col="channel") \
+        if os.path.exists(quantile_path) else pd.DataFrame()
+    wrote_quant = False
+    for fov in fovs:
+        sub_file = os.path.join(subset_path, fov + ".feather")
+        if os.path.exists(sub_file) and fov in quant_dat_all.columns:
+            continue
+        norm_keep, keep, w, seg_labels = _load_valid_rows(
+            cache_dir, fov, pixel_thresh_val, tiff_dir, channels,
+            img_sub_folder, is_mibitiff, seg_dir, seg_suffix, norm_vect_f64,
+            blur_factor)
+
+        # subset: same draw as `pixel_mat.sample(frac=...)` after
+        # np.random.seed(seed) — pandas samples via the global RandomState
+        # choice(n, round(frac*n), replace=False)
+        np.random.seed(seed)
+        n_sub = int(round(subset_proportion * len(keep)))
+        locs = np.random.choice(len(keep), size=n_sub, replace=False)
+        sub_df = pd.DataFrame(norm_keep[locs], columns=channels,
+                              index=locs.astype(np.int64))
+        sub_df["fov"] = fov
+        sub_df["row_index"] = (keep[locs] // w).astype(np.int64)
+        sub_df["column_index"] = (keep[locs] % w).astype(np.int64)
+        if seg_labels is not None:
+            sub_df["label"] = seg_labels.ravel()[keep[locs]]
+        feather.write_dataframe(sub_df, sub_file, compression="uncompressed")
+
+        # per-FOV 99.9% nonzero quantile, exact pandas
+        # `.replace(0, nan).quantile(q)` semantics per column
+        qvals = []
+        for ci in range(len(channels)):
+            m = norm_keep[:, ci].copy()
+            m[m == 0] = np.nan
+            qvals.append(pd.Series(m).quantile(
+                q=channel_percentile_post_rownorm))
+        quant_fov = pd.Series(qvals, index=pd.Index(channels, name="channel"),
+                              name=fov)
+        if fov in quant_dat_all.columns:
+            quant_dat_all = quant_dat_all.drop(columns=[fov])
+        quant_dat_all = quant_dat_all.merge(quant_fov, how="outer",
+                                            left_index=True, right_index=True)
+        quant_dat_all.to_csv(quantile_path)
+        wrote_quant = True
+
+    if wrote_quant or not os.path.exists(norm_post_path):
+        mean_quant = pd.DataFrame(quant_dat_all.mean(axis=1))
+        mean_quant = mean_quant.reindex(io_utils.natsorted(mean_quant.index))
+        feather.write_dataframe(mean_quant.T, norm_post_path,
+                                compression="uncompressed")
+
+    # ---- phase: SOM training (unchanged machinery) ----
+    pixel_pysom = pixel_som_clustering.train_pixel_som(
+        fovs, channels, base_dir, subset_dir=subset_dir,
+        norm_vals_name=norm_vals_name_post_rownorm,
+        som_weights_name=som_weights_name, xdim=xdim, ydim=ydim,
+        lr_start=lr_start, lr_end=lr_end, num_passes=num_passes, seed=seed)
+
+    # ---- phase: per-FOV assignment + single full-feather write ----
+    weights_cols = list(pixel_pysom.weights.columns)
+    weights_f32 = pixel_pysom.weights.values.astype(np.float32)
+    norm_vals_row = pixel_pysom.norm_data.iloc[0].values  # f64, weights order
+    assert weights_cols == channels, (weights_cols, channels)
+    print("Mapping pixel data to SOM cluster labels")
+    for fov in fovs:
+        if _data_feather_has_som(data_path, fov):
+            continue
+        norm_keep, keep, w, seg_labels = _load_valid_rows(
+            cache_dir, fov, pixel_thresh_val, tiff_dir, channels,
+            img_sub_folder, is_mibitiff, seg_dir, seg_suffix, norm_vect_f64,
+            blur_factor)
+        # f64 norm-divide: bitwise-equal to the pandas upcast div the
+        # multi-pass assignment applies (assign_som_clusters_table)
+        normalized = np.empty(norm_keep.shape, np.float64)
+        np.divide(norm_keep, norm_vals_row, out=normalized)
+        labels, _ = som_ops.som_map(
+            weights_f32, normalized.astype(np.float32), return_dist=False)
+        labels = np.asarray(labels)
+        pixel_pysom.som_clusters_seen.update(list(np.unique(labels)))
+
+        n = len(keep)
+        cols = {c: pa.array(normalized[:, ci])
+                for ci, c in enumerate(channels)}
+        cols["fov"] = pa.array([fov], type=pa.large_string()).take(
+            pa.array(np.zeros(n, np.int64)))
+        cols["row_index"] = pa.array((keep // w).astype(np.int64))
+        cols["column_index"] = pa.array((keep % w).astype(np.int64))
+        if seg_labels is not None:
+            cols["label"] = pa.array(seg_labels.ravel()[keep])
+        cols["pixel_som_cluster"] = pa.array(labels.astype(np.int32))
+        out_file = os.path.join(data_path, fov + ".feather")
+        feather.write_table(pa.table(cols), out_file + ".tmp",
+                            compression="uncompressed")
+        os.replace(out_file + ".tmp", out_file)
+
+    # ---- phase: averages + consensus + meta labels (unchanged machinery,
+    # operating on the fused-written feathers) ----
+    pixel_som_clustering.generate_som_avg_files(
+        fovs, channels, base_dir, pixel_pysom, data_dir=data_dir,
+        pc_chan_avg_som_cluster_name=pc_chan_avg_som_cluster_name,
+        num_fovs_subset=num_fovs_subset, seed=seed)
+    pixel_cc = pixel_meta_clustering.pixel_consensus_cluster(
+        fovs, channels, base_dir, max_k=max_k, cap=cap, data_dir=data_dir,
+        pc_chan_avg_som_cluster_name=pc_chan_avg_som_cluster_name, seed=seed)
+    pixel_meta_clustering.generate_meta_avg_files(
+        fovs, channels, base_dir, pixel_cc, data_dir=data_dir,
+        pc_chan_avg_som_cluster_name=pc_chan_avg_som_cluster_name,
+        pc_chan_avg_meta_cluster_name=pc_chan_avg_meta_cluster_name,
+        num_fovs_subset=num_fovs_subset, seed=seed)
+
+    if not keep_cache:
+        rmtree(cache_dir, ignore_errors=True)
+    return pixel_pysom, pixel_cc
+
+
+def _load_valid_rows(cache_dir, fov, pixel_thresh_val, tiff_dir, channels,
+                     img_sub_folder, is_mibitiff, seg_dir, seg_suffix,
+                     norm_vect_f64, blur_factor):
+    """Valid rows of a FOV's normalized matrix from the stash (regenerated
+    from the TIFF tree if missing/corrupt). Returns
+    (norm_keep (n, C) f32, keep indices, width, seg_labels or None)."""
+    stash = _stash_path(cache_dir, fov)
+    norm = rowsums = anynz = w = None
+    if os.path.exists(stash):
+        try:
+            z = np.load(stash)
+            norm, rowsums, anynz = z["norm"], z["rowsums"], z["anynz"]
+            w = int(z["shape"][1])
+        except Exception:
+            norm = None
+    seg_labels = None
+    if seg_dir is not None:
+        seg_labels = read_image(os.path.join(seg_dir, fov + seg_suffix))
+    if norm is None:
+        raw, _ = _load_fov_raw(tiff_dir, fov, channels, img_sub_folder,
+                               is_mibitiff, None, seg_suffix)
+        w = raw.shape[1]
+        dn, dr, da = _prep_fov_parts(
+            jnp.asarray(raw / norm_vect_f64, jnp.float32),
+            blur_factor=blur_factor)
+        norm, rowsums, anynz = (np.asarray(dn), np.asarray(dr),
+                                np.asarray(da))
+    # exact comparison semantics of `_prep_fov_device`: rowsums (f32) vs
+    # the threshold as the device would compare it
+    valid = (rowsums > np.float32(pixel_thresh_val)) & anynz
+    keep = np.flatnonzero(valid)
+    return norm[keep], keep, w, seg_labels

@@ -36,6 +36,20 @@ from ark_tpu.ops import image_filters
 from ark_tpu.phenotyping import pixel_cluster_utils
 
 
+def _prep_fov_parts_inner(img: jax.Array, blur_factor: int):
+    """Threshold-independent preprocess graph: blur → flatten → row stats →
+    row-normalize. Shared (traced identically) by the multi-pass
+    `_prep_fov_device` and the fused sweep's `pixie_fused._prep_fov_parts`
+    so the two pipelines produce bitwise-equal norm matrices."""
+    blurred = image_filters.gaussian_blur(img, sigma=blur_factor)
+    h, w, c = blurred.shape
+    mat = blurred.reshape(h * w, c)
+    rowsums = jnp.sum(mat, axis=1)
+    anynz = jnp.any(mat != 0, axis=1)
+    norm = mat / jnp.where(rowsums == 0, 1.0, rowsums)[:, None]
+    return norm, rowsums, anynz
+
+
 @functools.partial(jax.jit, static_argnames=("blur_factor",))
 def _prep_fov_device(img: jax.Array, pixel_thresh_val: jax.Array,
                      blur_factor: int = 2):
@@ -45,12 +59,8 @@ def _prep_fov_device(img: jax.Array, pixel_thresh_val: jax.Array,
     Returns (pixel_mat (H*W, C) row-normalized, valid (H*W,) bool) where
     valid = rowsum(blurred) > thresh AND any(channel != 0).
     """
-    blurred = image_filters.gaussian_blur(img, sigma=blur_factor)
-    h, w, c = blurred.shape
-    mat = blurred.reshape(h * w, c)
-    rowsums = jnp.sum(mat, axis=1)
-    valid = (rowsums > pixel_thresh_val) & jnp.any(mat != 0, axis=1)
-    norm = mat / jnp.where(rowsums == 0, 1.0, rowsums)[:, None]
+    norm, rowsums, anynz = _prep_fov_parts_inner(img, blur_factor)
+    valid = (rowsums > pixel_thresh_val) & anynz
     return norm, valid
 
 
@@ -179,7 +189,11 @@ def create_pixel_matrix(fovs, channels, base_dir, tiff_dir, seg_dir,
                                     substrs=".feather")
     fovs_full = io_utils.remove_file_extensions(
         list(set(fovs_sub).intersection(fovs_data)))
-    fovs_list = list(set(fovs).difference(fovs_full))
+    # keep the caller's FOV order (not set order): the quantile ledger's
+    # column order sets the f64 summation order of the cohort mean, and
+    # Python's randomized string hashing would otherwise make the cohort
+    # norm differ in the last ulp between runs
+    fovs_list = [f for f in fovs if f not in set(fovs_full)]
     quant_dat_all = pd.read_csv(quantile_path, index_col="channel") \
         if os.path.exists(quantile_path) else pd.DataFrame()
     norm_post_path = os.path.join(base_dir, norm_vals_name_post_rownorm)
@@ -187,8 +201,9 @@ def create_pixel_matrix(fovs, channels, base_dir, tiff_dir, seg_dir,
     # norm file is written — its columns only gate resume while the norm
     # file is still missing
     if not os.path.exists(norm_post_path):
-        quant_missing = set(fovs).difference(quant_dat_all.columns)
-        fovs_list = list(set(fovs_list).union(quant_missing))
+        need = set(fovs_list).union(
+            set(fovs).difference(quant_dat_all.columns))
+        fovs_list = [f for f in fovs if f in need]
     # skip ONLY when the stage's final artifact exists too: a run killed
     # after the last FOV but before the cohort-norm write must fall
     # through (empty loop) so the norm file still gets produced —

@@ -14,18 +14,33 @@ import os
 
 from ark_tpu.io import io_utils
 from ark_tpu.phenotyping import (pixel_meta_clustering, pixel_som_clustering,
-                                 pixie_preprocessing)
+                                 pixie_fused, pixie_preprocessing)
 
 
 def main(base_dir, channels, fovs=None, img_sub_folder=None,
          seg_dir=None, seg_suffix="_whole_cell.tiff", max_k=20,
-         blur_factor=2, subset_proportion=0.1, seed=42):
+         blur_factor=2, subset_proportion=0.1, seed=42, fused=True):
     tiff_dir = os.path.join(base_dir, "image_data")
     pixel_output_dir = "pixel_output_dir"
     os.makedirs(os.path.join(base_dir, pixel_output_dir), exist_ok=True)
     if fovs is None:
         fovs = io_utils.list_folders(tiff_dir)
 
+    if fused:
+        # single-sweep stage-boundary pipeline: identical artifacts to the
+        # multi-pass steps below, one TIFF load + one full-feather write
+        # per FOV (SURVEY.md §7; parity pinned in
+        # tests/phenotyping/test_pixie_fused.py)
+        pixie_fused.run_pixel_clustering(
+            fovs, channels, base_dir, tiff_dir, seg_dir=seg_dir,
+            img_sub_folder=img_sub_folder, seg_suffix=seg_suffix,
+            pixel_output_dir=pixel_output_dir, blur_factor=blur_factor,
+            subset_proportion=subset_proportion, seed=seed, max_k=max_k)
+        print("pixel clustering complete")
+        return
+
+    # multi-pass path (reference-shaped steps; resumes interchangeably
+    # with the fused driver's artifacts)
     # 1. preprocess: blur -> threshold -> rownorm -> subset
     pixie_preprocessing.create_pixel_matrix(
         fovs, channels, base_dir, tiff_dir, seg_dir,
@@ -71,5 +86,9 @@ if __name__ == "__main__":
     p.add_argument("--channels", nargs="+", required=True)
     p.add_argument("--seg_dir", default=None)
     p.add_argument("--max_k", type=int, default=20)
+    p.add_argument("--multipass", action="store_true",
+                   help="run the reference-shaped multi-pass steps instead "
+                        "of the fused single-sweep driver")
     a = p.parse_args()
-    main(a.base_dir, a.channels, seg_dir=a.seg_dir, max_k=a.max_k)
+    main(a.base_dir, a.channels, seg_dir=a.seg_dir, max_k=a.max_k,
+         fused=not a.multipass)

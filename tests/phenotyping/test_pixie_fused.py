@@ -1,0 +1,195 @@
+"""Fused single-sweep pixel stage (pixie_fused) vs the multi-pass pipeline.
+
+The contract is artifact bitwise-identity: a cohort run through
+``run_pixel_clustering`` must leave the exact same files on disk as the
+reference-shaped chain create_pixel_matrix → train_pixel_som →
+cluster_pixels → generate_som_avg_files → pixel_consensus_cluster →
+generate_meta_avg_files, so resume and GUI remap re-entry work on either
+path's outputs interchangeably (VERDICT-r4 weak #1 / SURVEY.md §7)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ark_tpu.io import feather_utils as feather
+from ark_tpu.phenotyping import (pixel_meta_clustering, pixel_som_clustering,
+                                 pixie_fused, pixie_preprocessing)
+from tests import test_utils
+
+FOVS = ["fov0", "fov1", "fov2"]
+CHANNELS = ["chan0", "chan1", "chan2", "chan3"]
+MAX_K = 5
+
+
+def _build_cohort(base):
+    base = str(base)
+    data = test_utils.create_image_cohort(
+        os.path.join(base, "image_data"), FOVS, CHANNELS, shape=(48, 48),
+        n_cells=12)
+    seg_dir = os.path.join(base, "segmentation", "deepcell_output")
+    test_utils.save_label_dir(seg_dir, data)
+    os.makedirs(os.path.join(base, "pixel_output_dir"), exist_ok=True)
+    return base, os.path.join(base, "image_data"), seg_dir
+
+
+def _run_multipass(base, tiff_dir, seg_dir, subset_proportion=0.5):
+    pixie_preprocessing.create_pixel_matrix(
+        FOVS, CHANNELS, base, tiff_dir, seg_dir, img_sub_folder=None,
+        subset_proportion=subset_proportion)
+    pysom = pixel_som_clustering.train_pixel_som(
+        FOVS, CHANNELS, base,
+        norm_vals_name="channel_norm_post_rownorm.feather")
+    pixel_som_clustering.cluster_pixels(FOVS, base, pysom)
+    pixel_som_clustering.generate_som_avg_files(
+        FOVS, CHANNELS, base, pysom, data_dir="pixel_mat_data")
+    cc = pixel_meta_clustering.pixel_consensus_cluster(
+        FOVS, CHANNELS, base, max_k=MAX_K)
+    pixel_meta_clustering.generate_meta_avg_files(
+        FOVS, CHANNELS, base, cc, data_dir="pixel_mat_data")
+    return pysom, cc
+
+
+def _run_fused(base, tiff_dir, seg_dir, subset_proportion=0.5, **kw):
+    return pixie_fused.run_pixel_clustering(
+        FOVS, CHANNELS, base, tiff_dir, seg_dir=seg_dir, img_sub_folder=None,
+        max_k=MAX_K, subset_proportion=subset_proportion, **kw)
+
+
+ARTIFACTS = [
+    "pixel_output_dir/channel_norm_pre_rownorm.feather",
+    "pixel_output_dir/pixel_thresh.feather",
+    "channel_norm_post_rownorm.feather",
+    "pixel_som_weights.feather",
+] + [f"pixel_mat_subsetted/{f}.feather" for f in FOVS] \
+  + [f"pixel_mat_data/{f}.feather" for f in FOVS]
+
+CSVS = ["pixel_mat_data/channel_norm_post_rownorm_perfov.csv",
+        "pixel_channel_avg_som_cluster.csv",
+        "pixel_channel_avg_meta_cluster.csv"]
+
+
+def _assert_same_artifacts(base_mp, base_fu):
+    for rel in ARTIFACTS + CSVS:
+        read = pd.read_csv if rel.endswith(".csv") else feather.read_dataframe
+        a = read(os.path.join(base_mp, rel))
+        b = read(os.path.join(base_fu, rel))
+        try:
+            pd.testing.assert_frame_equal(b, a, check_exact=True)
+        except AssertionError as e:
+            raise AssertionError(f"artifact mismatch: {rel}\n{e}") from e
+
+
+@pytest.fixture(scope="module")
+def cohort_pair(tmp_path_factory):
+    """Both pipelines run once on identical cohorts; tests compare slices."""
+    base_mp, tiff_mp, seg_mp = _build_cohort(tmp_path_factory.mktemp("mp"))
+    base_fu, tiff_fu, seg_fu = _build_cohort(tmp_path_factory.mktemp("fu"))
+    _run_multipass(base_mp, tiff_mp, seg_mp)
+    _run_fused(base_fu, tiff_fu, seg_fu)
+    return base_mp, base_fu
+
+
+def test_fused_artifacts_bitwise_match_multipass(cohort_pair):
+    base_mp, base_fu = cohort_pair
+    _assert_same_artifacts(base_mp, base_fu)
+    # fused writes the full feather once: som + meta labels present, and
+    # the channel columns carry the f64 norm-divided values
+    t = feather.read_table(os.path.join(base_fu, "pixel_mat_data",
+                                        "fov0.feather"))
+    assert "pixel_som_cluster" in t.column_names
+    assert "pixel_meta_cluster" in t.column_names
+    # cache cleaned up by default
+    assert not os.path.exists(
+        os.path.join(base_fu, "pixel_output_dir", "_fused_cache"))
+
+
+def test_batched_channel_percentiles_match_per_channel():
+    """The one-dispatch per-channel nonzero quantile must equal the
+    multi-pass per-(channel, fov) nonzero_quantile calls bitwise."""
+    import jax.numpy as jnp
+
+    from ark_tpu.ops import quantiles
+    rng = np.random.default_rng(12345)
+    img = rng.random((37, 53, 5), np.float32)
+    img[img < 0.4] = 0.0
+    img[..., 3] = 0.0  # a channel with no positive pixels
+    batched = np.asarray(pixie_fused._channel_percentiles_device(
+        jnp.asarray(img), 0.99))
+    for c in range(5):
+        single = float(quantiles.nonzero_quantile(
+            jnp.asarray(img[..., c]), 0.99))
+        if np.isnan(single):
+            assert np.isnan(batched[c])
+        else:
+            assert batched[c] == np.float32(single)
+
+
+def test_fused_resume_after_partial_run(tmp_path):
+    """A fused run killed mid-stage resumes to the same artifacts: stash
+    files survive, finished FOVs are skipped, and the final state matches
+    an uninterrupted fused run on an identical cohort."""
+    base_a, tiff_a, seg_a = _build_cohort(tmp_path / "a")
+    base_b, tiff_b, seg_b = _build_cohort(tmp_path / "b")
+    _run_fused(base_a, tiff_a, seg_a)
+
+    # simulate a kill right after SOM training: train raises on cohort b
+    calls = {"n": 0}
+    orig = pixel_som_clustering.train_pixel_som
+
+    def dying_train(*a, **kw):
+        calls["n"] += 1
+        out = orig(*a, **kw)
+        if calls["n"] == 1:
+            raise KeyboardInterrupt("simulated kill after training")
+        return out
+
+    pixel_som_clustering.train_pixel_som, saved = dying_train, orig
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            pixie_fused.run_pixel_clustering(
+                FOVS, CHANNELS, base_b, tiff_b, seg_dir=seg_b,
+                img_sub_folder=None, max_k=MAX_K, subset_proportion=0.5)
+    finally:
+        pixel_som_clustering.train_pixel_som = saved
+    # no data feathers yet, subsets + weights exist
+    assert os.path.exists(os.path.join(base_b, "pixel_som_weights.feather"))
+    assert not os.path.exists(os.path.join(base_b, "pixel_mat_data",
+                                           "fov0.feather"))
+    _run_fused(base_b, tiff_b, seg_b)
+    _assert_same_artifacts(base_a, base_b)
+
+
+def test_fused_resume_missing_stash_and_feather(cohort_pair, tmp_path):
+    """Deleting one FOV's outputs (and with the cache long gone) must
+    regenerate exactly the same feather from the TIFFs."""
+    base_mp, base_fu = cohort_pair
+    fov_file = os.path.join(base_fu, "pixel_mat_data", "fov1.feather")
+    ref = feather.read_dataframe(fov_file)
+    os.remove(fov_file)
+    tiff_dir = os.path.join(base_fu, "image_data")
+    seg_dir = os.path.join(base_fu, "segmentation", "deepcell_output")
+    _run_fused(base_fu, tiff_dir, seg_dir)
+    again = feather.read_dataframe(fov_file)
+    # meta labels are reattached by the consensus pass on the rerun
+    pd.testing.assert_frame_equal(again, ref, check_exact=True)
+
+
+def test_gui_remap_reentry_on_fused_outputs(cohort_pair):
+    """apply_pixel_meta_cluster_remapping (the GUI re-entry path) operates
+    on fused-written feathers unchanged."""
+    base_mp, base_fu = cohort_pair
+    som_avg = pd.read_csv(os.path.join(base_fu,
+                                       "pixel_channel_avg_som_cluster.csv"))
+    remap = som_avg[["pixel_som_cluster", "pixel_meta_cluster"]].copy()
+    remap["pixel_meta_cluster_rename"] = remap["pixel_meta_cluster"].map(
+        lambda m: f"pmc_{m}")
+    remap.to_csv(os.path.join(base_fu, "pixel_remap.csv"), index=False)
+    pixel_meta_clustering.apply_pixel_meta_cluster_remapping(
+        FOVS, CHANNELS, base_fu, "pixel_mat_data", "pixel_remap.csv")
+    t = feather.read_dataframe(os.path.join(base_fu, "pixel_mat_data",
+                                            "fov0.feather"))
+    assert "pixel_meta_cluster_rename" in t.columns
+    assert set(t["pixel_meta_cluster_rename"].unique()) <= \
+        set(remap["pixel_meta_cluster_rename"])
