@@ -223,6 +223,19 @@ def main():
 
     import jax
 
+    if "--contract-only" in sys.argv:
+        # CI shape check (no perf claims): tiny problem on the current
+        # backend, same JSON contract — metric/value/unit/vs_baseline
+        tpu_mpix = _bench_tpu(65_536, 16, 100, reps=3)
+        cpu_mpix = _bench_cpu_numpy(65_536, 16, 100)
+        print(json.dumps({
+            "metric": "som_bmu_map_throughput",
+            "value": round(tpu_mpix, 1), "unit": "Mpixels/s",
+            "vs_baseline": round(tpu_mpix / cpu_mpix, 1),
+            "contract_only": True,
+        }))
+        return
+
     err = _probe_attach()
     if err:
         print(json.dumps({

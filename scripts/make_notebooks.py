@@ -34,7 +34,9 @@ def code(text):
 
 PATHS_MD = """### Path setup
 * `base_dir`: the main folder containing your imaging data; analysis outputs land here too
-* `cell_table_path`: cell table CSV from [segmentation](1_Segment_Image_Data.ipynb) / [Pixie](3_Pixie_Cluster_Cells.ipynb)
+* `cell_table_path`: cell table CSV from
+  [segmentation](1_Segment_Image_Data.ipynb) /
+  [Pixie](3_Pixie_Cluster_Cells.ipynb)
 """
 
 NOTEBOOKS = {}

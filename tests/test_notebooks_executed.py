@@ -230,7 +230,7 @@ _renum = {v: i + 1 for i, v in
           enumerate(sorted(_avg['cell_som_cluster'].astype(int)))}
 # collapse guard: renumbering must not paper over a SOM that assigns
 # (nearly) everything to one node (the r2 n_steps=1 bug class)
-assert len(_renum) >= 3, f'cell SOM collapsed to {len(_renum)} node(s)' 
+assert len(_renum) >= 3, f'cell SOM collapsed to {len(_renum)} node(s)'
 _avg['cell_som_cluster'] = _avg['cell_som_cluster'].map(_renum)
 _avg.sort_values('cell_som_cluster').to_csv(_avg_p, index=False)
 cell_som_input_data['cell_som_cluster'] = \\
