@@ -40,7 +40,16 @@ def calc_dist_matrix(cell_table, save_path, fov_id=settings.FOV_ID,
         fov_table = cell_table[cell_table[fov_id] == fov]
         centroids = fov_table[list(centroid_ids)].values.astype(np.float32)
         labels = list(fov_table[label_id])
-        dist_matrix = dist_ops.cdist(centroids).astype(np.float32)
+        # shape-bucket the device program: every FOV has a different cell
+        # count, and an unpadded call compiles a fresh executable per FOV
+        # (~100 remote compiles per cohort on the attach). Extra zero rows
+        # don't change the real pairwise block, which is sliced out.
+        n = centroids.shape[0]
+        nb = dist_ops.shape_bucket(n)
+        padded = np.zeros((nb, centroids.shape[1]), np.float32)
+        padded[:n] = centroids
+        dist_matrix = np.asarray(
+            dist_ops.cdist(padded))[:n, :n].astype(np.float32)
         da = DataArray(dist_matrix, coords={"dim_0": labels, "dim_1": labels})
         da.to_netcdf(os.path.join(save_path, str(fov) + "_dist_mat.xr"))
 

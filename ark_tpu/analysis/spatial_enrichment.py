@@ -26,6 +26,7 @@ import pandas as pd
 from ark_tpu import settings
 from ark_tpu.analysis import spatial_analysis_utils
 from ark_tpu.io.misc_utils import verify_in_list
+from ark_tpu.ops.distances import shape_bucket as _bucket
 
 
 def benjamini_hochberg(pvals: np.ndarray) -> np.ndarray:
@@ -42,14 +43,24 @@ def benjamini_hochberg(pvals: np.ndarray) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("bootstrap_num",))
 def _permutation_null(dist_bin: jax.Array, pos_matrix: jax.Array,
-                      seed: jax.Array, bootstrap_num: int) -> jax.Array:
+                      n_real: jax.Array, seed: jax.Array,
+                      bootstrap_num: int) -> jax.Array:
     """(B, M, M) null close-counts: each bootstrap permutes the cell axis of
     the positive-label matrix (preserving per-marker positive counts), then
-    one batched P·D·Pᵀ einsum computes every marker pair at once."""
+    one batched P·D·Pᵀ einsum computes every marker pair at once.
+
+    Inputs may be zero-padded past ``n_real`` (shape bucketing): the
+    permutation is drawn by argsort of uniforms with padding keys pushed
+    past every real key, so the first ``n_real`` slots are a uniform
+    permutation of the real columns and padding columns (all-zero in both
+    operands) stay inert — the null distribution over real cells is
+    exactly the unpadded one."""
     m, n = pos_matrix.shape
 
     def one(key):
-        perm = jax.random.permutation(key, n)
+        u = jax.random.uniform(key, (n,))
+        u = u + (jnp.arange(n) >= n_real) * 2.0      # padding sorts last
+        perm = jnp.argsort(u)
         p = jnp.take(pos_matrix, perm, axis=1)                   # (M, N)
         return p @ dist_bin @ p.T                                # MXU x2
 
@@ -78,12 +89,18 @@ def calculate_enrichment(dist_mat, pos_matrix: np.ndarray, dist_lim: float,
         sigmahat, p_pos, p_neg, p_adj.
     """
     vals = dist_mat.values if hasattr(dist_mat, "values") else np.asarray(dist_mat)
-    dist_bin = jnp.asarray(
-        ((vals < dist_lim) & (vals > 0)).astype(np.float32))
-    pos = jnp.asarray(pos_matrix.astype(np.float32))
+    m, n = pos_matrix.shape
+    nb, mb = _bucket(n), _bucket(m, floor=8)
+    dist_host = np.zeros((nb, nb), np.float32)
+    dist_host[:n, :n] = ((vals < dist_lim) & (vals > 0)).astype(np.float32)
+    pos_host = np.zeros((mb, nb), np.float32)
+    pos_host[:m, :n] = pos_matrix
+    dist_bin = jnp.asarray(dist_host)
+    pos = jnp.asarray(pos_host)
 
-    close_num = np.asarray(_observed(dist_bin, pos))
-    null = np.asarray(_permutation_null(dist_bin, pos, seed, bootstrap_num))
+    close_num = np.asarray(_observed(dist_bin, pos))[:m, :m]
+    null = np.asarray(_permutation_null(
+        dist_bin, pos, jnp.int32(n), seed, bootstrap_num))[:, :m, :m]
 
     muhat = null.mean(axis=0)
     sigmahat = null.std(axis=0)

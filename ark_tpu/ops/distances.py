@@ -11,6 +11,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def shape_bucket(n: int, floor: int = 128) -> int:
+    """Next power-of-two shape bucket (≥ floor).
+
+    Per-FOV device programs (cdist, enrichment P·D·Pᵀ) see a different
+    cell count N per FOV; unpadded calls trace + compile a fresh
+    executable per FOV — ~100 remote compiles per 100-FOV cohort on the
+    relay attach. Zero-padding to a bucket keeps one executable per
+    bucket; callers slice the real block back out (value-exact)."""
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
+
+
 def squared_distances(a: jax.Array, b: jax.Array,
                       zero_diagonal: bool = False) -> jax.Array:
     """(N, M) squared euclidean distances between rows of a and b —

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from shutil import rmtree
 
 import jax
@@ -69,8 +70,9 @@ def _channel_percentiles_device(img: jax.Array, percentile: float):
     tests/phenotyping/test_pixie_fused.py on both backends.
     """
     cols = img.reshape(-1, img.shape[-1]).T  # (C, H*W)
-    return jax.vmap(
+    vals = jax.vmap(
         lambda col: quantiles.nonzero_quantile(col, percentile))(cols)
+    return vals, jnp.any(cols > 0, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("blur_factor",))
@@ -116,9 +118,19 @@ def _stash_path(cache_dir, fov):
     return os.path.join(cache_dir, fov + ".stash.npz")
 
 
+def _norm_path(cache_dir, fov):
+    return os.path.join(cache_dir, fov + ".norm.npy")
+
+
 def _atomic_npz(path, **arrays):
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def _atomic_npy(path, array):
+    tmp = path + ".tmp.npy"
+    np.save(tmp, array)
     os.replace(tmp, path)
 
 
@@ -150,7 +162,8 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
                          som_weights_name="pixel_som_weights.feather",
                          pc_chan_avg_som_cluster_name="pixel_channel_avg_som_cluster.csv",
                          pc_chan_avg_meta_cluster_name="pixel_channel_avg_meta_cluster.csv",
-                         num_fovs_subset=100, keep_cache=False):
+                         num_fovs_subset=100, keep_cache=False,
+                         timings=None):
     """Preprocess + SOM-cluster + meta-cluster the pixel cohort in one sweep.
 
     Produces the exact artifact set of ``create_pixel_matrix`` →
@@ -159,7 +172,16 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
     steps 1-3), bitwise, with one TIFF load, one device round trip of the
     pixel matrix, and one full-feather write per FOV. Returns
     (pixel_pysom, pixel_cc) like the individual steps do.
+
+    ``timings``: optional dict — per-phase wall seconds are accumulated
+    into it (profiling aid for benchmarks/r5_fused_ab.py).
     """
+    t_phase = time.perf_counter
+    if timings is None:
+        timings = {}
+
+    def _mark(name, t0):
+        timings[name] = round(timings.get(name, 0.0) + t_phase() - t0, 3)
     channels = io_utils.natsorted(channels)
     if subset_proportion <= 0 or subset_proportion > 1:
         raise ValueError("Invalid subset percentage entered: must be in (0, 1]")
@@ -206,6 +228,7 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         return (os.path.exists(os.path.join(subset_path, fov + ".feather"))
                 and _data_feather_has_som(data_path, fov))
 
+    _t0 = t_phase()
     if need_channel_norm:
         # cohort percentile pass: per-FOV per-channel nonzero quantiles,
         # FOVs without positive pixels for a channel are excluded from that
@@ -215,10 +238,10 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
             raw, _ = _load_fov_raw(tiff_dir, fov, channels, img_sub_folder,
                                    is_mibitiff, seg_dir, seg_suffix)
             dev = jnp.asarray(raw, jnp.float32)
-            vals = np.asarray(_channel_percentiles_device(
-                dev, channel_percentile_pre_rownorm))
-            per_fov_vals.append([float(v) for v in vals])
-            per_fov_haspos.append((raw > 0).any(axis=(0, 1)))
+            vals, haspos = _channel_percentiles_device(
+                dev, channel_percentile_pre_rownorm)
+            per_fov_vals.append([float(v) for v in np.asarray(vals)])
+            per_fov_haspos.append(np.asarray(haspos))
         means = []
         for ci in range(len(channels)):
             vs = [per_fov_vals[fi][ci] for fi in range(len(fovs))
@@ -230,6 +253,7 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
             io_utils.natsorted(channel_norm_df.columns)]
         feather.write_dataframe(channel_norm_df, channel_norm_pre_path,
                                 compression="uncompressed")
+    _mark("chan_percentiles_s", _t0)
 
     # two normalization vectors, matching the multi-pass path exactly: the
     # q05 stat divides in f32 on device (calculate_pixel_intensity_percentile
@@ -241,6 +265,7 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
 
     # norm-matrix sweep: one TIFF load per FOV; q05 rides along while the
     # threshold artifact is still missing
+    _t0 = t_phase()
     q05s = {}
     for fov in fovs:
         stash = _stash_path(cache_dir, fov)
@@ -261,14 +286,19 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
             jnp.asarray(raw, jnp.float32) / norm_vect_f32)
         q05s[fov] = q05
         if not fov_complete(fov):
-            dev_prep = jnp.asarray(raw / norm_vect_f64, jnp.float32)
+            dev_prep = jnp.asarray(pixie_preprocessing.channel_norm_divide(
+                raw, norm_vect_f64))
             norm, rowsums, anynz = _prep_fov_parts(
                 dev_prep, blur_factor=blur_factor)
-            _atomic_npz(stash, norm=np.asarray(norm),
-                        rowsums=np.asarray(rowsums),
+            # the big norm matrix goes in its own .npy (written before the
+            # stash marker, mmap-read later so the valid-row gathers pull
+            # only the pages they touch); rowsums/anynz/q05 ride the npz
+            _atomic_npy(_norm_path(cache_dir, fov), np.asarray(norm))
+            _atomic_npz(stash, rowsums=np.asarray(rowsums),
                         anynz=np.asarray(anynz), q05=np.float32(q05),
                         shape=np.array(raw.shape[:2]))
 
+    _mark("norm_sweep_s", _t0)
     if need_thresh:
         pixel_thresh_val = float(np.mean([q05s[f] for f in fovs]))
         feather.write_dataframe(
@@ -279,6 +309,7 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
             pixel_thresh_path)["pixel_thresh_val"].values[0]
 
     # ---- phase: host-only subset + per-FOV 99.9% quantile ----
+    _t0 = t_phase()
     quant_dat_all = pd.read_csv(quantile_path, index_col="channel") \
         if os.path.exists(quantile_path) else pd.DataFrame()
     wrote_quant = False
@@ -329,14 +360,20 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         feather.write_dataframe(mean_quant.T, norm_post_path,
                                 compression="uncompressed")
 
+    _mark("subset_quantile_s", _t0)
+
     # ---- phase: SOM training (unchanged machinery) ----
+    _t0 = t_phase()
     pixel_pysom = pixel_som_clustering.train_pixel_som(
         fovs, channels, base_dir, subset_dir=subset_dir,
         norm_vals_name=norm_vals_name_post_rownorm,
         som_weights_name=som_weights_name, xdim=xdim, ydim=ydim,
         lr_start=lr_start, lr_end=lr_end, num_passes=num_passes, seed=seed)
 
+    _mark("som_train_s", _t0)
+
     # ---- phase: per-FOV assignment + single full-feather write ----
+    _t0 = t_phase()
     weights_cols = list(pixel_pysom.weights.columns)
     weights_f32 = pixel_pysom.weights.values.astype(np.float32)
     norm_vals_row = pixel_pysom.norm_data.iloc[0].values  # f64, weights order
@@ -372,9 +409,22 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         feather.write_table(pa.table(cols), out_file + ".tmp",
                             compression="uncompressed")
         os.replace(out_file + ".tmp", out_file)
+        if not keep_cache:
+            # nothing downstream needs this FOV's stash once the labeled
+            # feather is committed; dropping it early bounds cache disk
+            # at ~one cohort of norm matrices instead of growing past it
+            for leftover in (_stash_path(cache_dir, fov),
+                             _norm_path(cache_dir, fov)):
+                try:
+                    os.remove(leftover)
+                except OSError:
+                    pass
+
+    _mark("assign_write_s", _t0)
 
     # ---- phase: averages + consensus + meta labels (unchanged machinery,
     # operating on the fused-written feathers) ----
+    _t0 = t_phase()
     pixel_som_clustering.generate_som_avg_files(
         fovs, channels, base_dir, pixel_pysom, data_dir=data_dir,
         pc_chan_avg_som_cluster_name=pc_chan_avg_som_cluster_name,
@@ -387,6 +437,8 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         pc_chan_avg_som_cluster_name=pc_chan_avg_som_cluster_name,
         pc_chan_avg_meta_cluster_name=pc_chan_avg_meta_cluster_name,
         num_fovs_subset=num_fovs_subset, seed=seed)
+
+    _mark("avg_consensus_meta_s", _t0)
 
     if not keep_cache:
         rmtree(cache_dir, ignore_errors=True)
@@ -401,11 +453,12 @@ def _load_valid_rows(cache_dir, fov, pixel_thresh_val, tiff_dir, channels,
     (norm_keep (n, C) f32, keep indices, width, seg_labels or None)."""
     stash = _stash_path(cache_dir, fov)
     norm = rowsums = anynz = w = None
-    if os.path.exists(stash):
+    if os.path.exists(stash) and os.path.exists(_norm_path(cache_dir, fov)):
         try:
             z = np.load(stash)
-            norm, rowsums, anynz = z["norm"], z["rowsums"], z["anynz"]
+            rowsums, anynz = z["rowsums"], z["anynz"]
             w = int(z["shape"][1])
+            norm = np.load(_norm_path(cache_dir, fov), mmap_mode="r")
         except Exception:
             norm = None
     seg_labels = None
@@ -416,7 +469,8 @@ def _load_valid_rows(cache_dir, fov, pixel_thresh_val, tiff_dir, channels,
                                is_mibitiff, None, seg_suffix)
         w = raw.shape[1]
         dn, dr, da = _prep_fov_parts(
-            jnp.asarray(raw / norm_vect_f64, jnp.float32),
+            jnp.asarray(pixie_preprocessing.channel_norm_divide(
+                raw, norm_vect_f64)),
             blur_factor=blur_factor)
         norm, rowsums, anynz = (np.asarray(dn), np.asarray(dr),
                                 np.asarray(da))

@@ -36,6 +36,19 @@ from ark_tpu.ops import image_filters
 from ark_tpu.phenotyping import pixel_cluster_utils
 
 
+def channel_norm_divide(img_f32: np.ndarray,
+                        norm_vect_f64: np.ndarray) -> np.ndarray:
+    """f32(img / norm) with the f64 intermediate the reference pipeline
+    implies (f32 array / f64 row promotes to f64, then the device upload
+    casts to f32). ``np.divide`` straight into an f32 output is
+    bitwise-equal to the naive ``(img / norm).astype(f32)`` — numpy
+    computes each element in f64 and casts once — and ~4× faster (no
+    128 MB f64 temporary per 1024² FOV)."""
+    out = np.empty(img_f32.shape, np.float32)
+    np.divide(img_f32, norm_vect_f64, out=out, casting="unsafe")
+    return out
+
+
 def _prep_fov_parts_inner(img: jax.Array, blur_factor: int):
     """Threshold-independent preprocess graph: blur → flatten → row stats →
     row-normalize. Shared (traced identically) by the multi-pass
@@ -119,7 +132,7 @@ def preprocess_fov(base_dir, tiff_dir, data_dir, subset_dir, seg_dir,
 
     img_data = img_xr.sel(fovs=fov, channels=channels).values.astype(np.float32)
     norm_vect = channel_norm_df.iloc[0].values.reshape(1, 1, -1)
-    img_data = img_data / norm_vect
+    img_data = channel_norm_divide(img_data, norm_vect)
 
     np.random.seed(seed)
     pixel_mat, pixel_mat_subset = create_fov_pixel_data(

@@ -31,36 +31,46 @@ from r4_kernel_bench import _setup_cache  # noqa: E402
 from r4_pixel_stage_profile import CHANNELS, build_cohort  # noqa: E402
 
 
-def _run_multipass(base, fovs):
+def _run_multipass(base, fovs, timings=None):
     from ark_tpu.phenotyping import (pixel_meta_clustering,
                                      pixel_som_clustering,
                                      pixie_preprocessing)
+    if timings is None:
+        timings = {}
     seg_dir = os.path.join(base, "segmentation", "deepcell_output")
+    t0 = time.perf_counter()
     pixie_preprocessing.create_pixel_matrix(
         fovs, CHANNELS, base, os.path.join(base, "image_data"), seg_dir,
         img_sub_folder=None, seg_suffix="_whole_cell.tiff",
         pixel_output_dir="pixel_output_dir", blur_factor=2,
         subset_proportion=0.1, seed=42)
+    timings["preprocess_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
     pysom = pixel_som_clustering.train_pixel_som(
         fovs, CHANNELS, base,
         norm_vals_name="channel_norm_post_rownorm.feather", seed=42)
+    timings["som_train_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
     pixel_som_clustering.cluster_pixels(fovs, base, pysom)
+    timings["som_assign_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
     pixel_som_clustering.generate_som_avg_files(
         fovs, CHANNELS, base, pysom, data_dir="pixel_mat_data")
     pixel_cc = pixel_meta_clustering.pixel_consensus_cluster(
         fovs, CHANNELS, base, max_k=8, seed=42)
     pixel_meta_clustering.generate_meta_avg_files(
         fovs, CHANNELS, base, pixel_cc, data_dir="pixel_mat_data")
+    timings["avg_consensus_meta_s"] = round(time.perf_counter() - t0, 2)
 
 
-def _run_fused(base, fovs):
+def _run_fused(base, fovs, timings=None):
     from ark_tpu.phenotyping import pixie_fused
     seg_dir = os.path.join(base, "segmentation", "deepcell_output")
     pixie_fused.run_pixel_clustering(
         fovs, CHANNELS, base, os.path.join(base, "image_data"),
         seg_dir=seg_dir, img_sub_folder=None,
         seg_suffix="_whole_cell.tiff", blur_factor=2,
-        subset_proportion=0.1, seed=42, max_k=8)
+        subset_proportion=0.1, seed=42, max_k=8, timings=timings)
 
 
 def _prep_base(size, fovs, tag):
@@ -87,12 +97,14 @@ def main(n_fovs=4, size=1024):
     results = {}
     for tag, runner in (("multipass", _run_multipass), ("fused", _run_fused)):
         base = _prep_base(size, fovs, tag)
+        phase = {}
         try:
             t0 = time.perf_counter()
-            runner(base, fovs)
+            runner(base, fovs, timings=phase)
             results[tag] = time.perf_counter() - t0
         finally:
             shutil.rmtree(base, ignore_errors=True)
+        out[tag + "_phases"] = phase
     out["multipass_s"] = round(results["multipass"], 1)
     out["fused_s"] = round(results["fused"], 1)
     out["multipass_s_per_fov"] = round(results["multipass"] / n_fovs, 2)

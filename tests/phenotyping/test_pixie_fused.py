@@ -115,8 +115,10 @@ def test_batched_channel_percentiles_match_per_channel():
     img = rng.random((37, 53, 5), np.float32)
     img[img < 0.4] = 0.0
     img[..., 3] = 0.0  # a channel with no positive pixels
-    batched = np.asarray(pixie_fused._channel_percentiles_device(
-        jnp.asarray(img), 0.99))
+    batched, haspos = pixie_fused._channel_percentiles_device(
+        jnp.asarray(img), 0.99)
+    batched, haspos = np.asarray(batched), np.asarray(haspos)
+    np.testing.assert_array_equal(haspos, (img > 0).any(axis=(0, 1)))
     for c in range(5):
         single = float(quantiles.nonzero_quantile(
             jnp.asarray(img[..., c]), 0.99))
