@@ -12,25 +12,35 @@ the device compute is <1% of the stage.
 
 ``run_pixel_clustering`` produces *identical artifacts* (bitwise — pinned by
 tests/phenotyping/test_pixie_fused.py) from a minimal-IO schedule built
-around the three genuine cohort barriers (channel norms → pixel threshold →
-trained SOM → consensus):
+around the genuine cohort barriers (channel norms → pixel threshold →
+trained SOM → consensus), with the cohort's working set held RESIDENT IN
+HBM across those barriers (``_HbmCohortCache``) instead of round-tripping
+through host feathers:
 
-  stats     one TIFF load + one upload per FOV; per-channel percentiles and
-            the q05 threshold statistic come back as scalars, and the
-            blurred/row-normalized matrix comes back ONCE and is stashed
-            (local .npz) for the later phases — no further device uploads
-            of raw data, no re-reads of the TIFF tree.
-  subset    host-only: validity mask, seeded subset sample, per-FOV 99.9%
-            quantile (exact pandas semantics), subset feather.
+  stats     one TIFF load + one upload per FOV; per-channel percentiles
+            come back as scalars and the raw stack stays on device.
+  sweep     per FOV, from resident raw: the q05 threshold statistic and
+            the blurred/row-normalized matrix — no second upload, no
+            readback; the norm matrix replaces raw in the cache.
+  subset    per FOV, from resident norm: validity mask (1 bit/px), the
+            seeded training subset (device gather, ~10% of rows), and the
+            per-FOV 99.9% quantile from TWO exact order statistics per
+            channel (device sort + count; surrogate-array replication of
+            both pandas numpy paths is bitwise-exact — see
+            ``_fov_quantiles``).
   train     unchanged (``pixel_som_clustering.train_pixel_som``).
-  assign    per FOV: one upload of the valid rows, fused BMU kernel, and
-            the full feather is written ONCE — already norm-divided (the
-            multi-pass path rewrites it) and already carrying the SOM
-            label column. The f64 normalize uses ``np.divide(..., out=)``
-            (bitwise-equal to the pandas upcast div, ~50× faster).
+  assign    per FOV: ONE readback of the valid rows, the f64 norm-divide
+            via ``np.divide(out=)`` (bitwise-equal to the pandas upcast
+            div, ~50× faster), one BMU upload, and the full feather
+            written ONCE — already norm-divided (the multi-pass path
+            rewrites it) and already carrying the SOM label column.
   meta      unchanged (consensus + the r4 arrow-passthrough label pass +
             avg CSV generators), so GUI remap re-entry and all resume
             semantics keep working on the fused outputs.
+
+FOVs past the HBM budget (default 8 GB ≈ 125 1024²×16ch norm matrices)
+spill to a local disk stash (.npy mmap + .npz) and take the same phases
+through host memory; outputs are identical either way.
 
 Resume: every artifact this writes is the same file the multi-pass stage
 writes, so a killed fused run can be resumed by either driver; per-FOV
@@ -59,16 +69,46 @@ from ark_tpu.ops import som as som_ops
 from ark_tpu.phenotyping import (pixel_cluster_utils, pixel_meta_clustering,
                                  pixel_som_clustering, pixie_preprocessing)
 
+_DEFAULT_HBM_CACHE_BYTES = 8 << 30
+
+
+class _HbmCohortCache:
+    """Byte-budgeted fov → device-array cache: the cohort's working set
+    lives in HBM between pipeline barriers instead of round-tripping
+    through host feathers. ``put`` refuses (returns False) past the
+    budget — the caller spills that FOV to the disk stash."""
+
+    def __init__(self, budget_bytes: int):
+        self.budget = budget_bytes
+        self.used = 0
+        self._store = {}
+
+    def put(self, key, arrs) -> bool:
+        nb = sum(int(a.nbytes) for a in arrs)
+        if self.used + nb > self.budget:
+            return False
+        self._store[key] = arrs
+        self.used += nb
+        return True
+
+    def get(self, key):
+        return self._store.get(key)
+
+    def pop(self, key):
+        arrs = self._store.pop(key, None)
+        if arrs is not None:
+            self.used -= sum(int(a.nbytes) for a in arrs)
+        return arrs
+
 
 @functools.partial(jax.jit, static_argnames=("percentile",))
 def _channel_percentiles_device(img: jax.Array, percentile: float):
-    """Per-channel nonzero quantile of an (H, W, C) image in one dispatch.
-
-    Must match per-channel ``quantiles.nonzero_quantile(img[..., c], q)``
-    calls bitwise (the multi-pass ``calculate_channel_percentiles`` path,
-    reference pixel_cluster_utils.py:16-60); parity is asserted in
-    tests/phenotyping/test_pixie_fused.py on both backends.
-    """
+    """Per-channel nonzero quantile + has-positive of an (H, W, C) image
+    in one dispatch. Must match per-channel
+    ``quantiles.nonzero_quantile(img[..., c], q)`` calls bitwise (the
+    multi-pass ``calculate_channel_percentiles`` path, reference
+    pixel_cluster_utils.py:16-60); parity is asserted in
+    tests/phenotyping/test_pixie_fused.py."""
     cols = img.reshape(-1, img.shape[-1]).T  # (C, H*W)
     vals = jax.vmap(
         lambda col: quantiles.nonzero_quantile(col, percentile))(cols)
@@ -79,8 +119,8 @@ def _channel_percentiles_device(img: jax.Array, percentile: float):
 def _prep_fov_parts(img: jax.Array, blur_factor: int = 2):
     """Threshold-independent per-FOV preprocess: the same traced graph as
     the multi-pass ``_prep_fov_device`` (shared inner), minus the valid
-    mask — ``valid = (rowsums > thresh) & anynz`` is left to the host
-    because the threshold is a cohort statistic not yet known here.
+    mask — ``valid = (rowsums > thresh) & anynz`` is applied later once
+    the cohort threshold exists.
     img: (H, W, C) channel-normalized. Returns (norm, rowsums, anynz)."""
     return pixie_preprocessing._prep_fov_parts_inner(img, blur_factor)
 
@@ -88,11 +128,82 @@ def _prep_fov_parts(img: jax.Array, blur_factor: int = 2):
 def _intensity_q05(img_norm_dev: jax.Array) -> float:
     """q05 of channel-normalized total signal — the per-FOV statistic of
     ``calculate_pixel_intensity_percentile`` (reference :63-106), from the
-    device-resident channel-normalized image instead of a second TIFF pass.
-    Eager sum + the same quantile op keep it bitwise-equal to the
+    device-resident channel-normalized image instead of a second TIFF
+    pass. Eager sum + the same quantile op keep it bitwise-equal to the
     multi-pass path."""
     summed = jnp.sum(img_norm_dev, axis=-1)
     return float(quantiles.quantile(summed, 0.05))
+
+
+@jax.jit
+def _valid_mask_device(rowsums: jax.Array, anynz: jax.Array,
+                       thresh: jax.Array) -> jax.Array:
+    return (rowsums > thresh) & anynz
+
+
+@jax.jit
+def _quantile_stats_device(norm_keep: jax.Array):
+    """Per-column (sorted-nonzero values ascending, nonzero count): zeros
+    are pushed past every real value with +inf so the first ``count``
+    entries of each sorted column are exactly the nonzero order
+    statistics (norm values are nonnegative)."""
+    masked = jnp.where(norm_keep == 0, jnp.inf, norm_keep)
+    return jnp.sort(masked, axis=0), jnp.sum(norm_keep != 0, axis=0)
+
+
+def _fov_quantiles(sorted_cols, counts, n_rows, q):
+    """Per-channel value of pandas ``frame.replace(0, nan).quantile(q)``
+    from two order statistics per column, exact by construction.
+
+    pandas routes the frame through two numpy paths
+    (pandas/core/array_algos/quantile.py): with any NaN present it runs
+    ``np.quantile`` per column on the f32 non-NaN values and casts the
+    results back to f32; with no NaN it runs one f64-returning
+    ``np.quantile(values, qs, axis=1)`` over the 2-D f32 block. Linear
+    interpolation touches only the two order statistics bracketing
+    ``q*(n-1)``, so a surrogate column of the same length filled with
+    those two values reproduces each path bit-for-bit — the surrogates
+    are fed to the very same numpy calls pandas makes.
+
+    sorted_cols: accessor f(lo_rows, hi_rows) -> (a_lo (C,), a_hi (C,))
+    exact f32 order statistics of each column's nonzero values;
+    counts: (C,) nonzero counts; n_rows: rows in the frame.
+    Property-tested against real pandas frames in
+    tests/phenotyping/test_pixie_fused.py.
+    """
+    counts = np.asarray(counts, np.int64)
+    nan_present = bool((counts < n_rows).any())
+    lo_rows = np.zeros(len(counts), np.int64)
+    hi_rows = np.zeros(len(counts), np.int64)
+    poss = np.zeros(len(counts), np.float64)
+    for ci, nn in enumerate(counts):
+        if nn == 0:
+            continue
+        pos = np.float64(q) * (int(nn) - 1)
+        lo = int(np.floor(pos))
+        lo_rows[ci] = lo
+        hi_rows[ci] = min(lo + 1, int(nn) - 1)
+        poss[ci] = pos
+    a_lo, a_hi = sorted_cols(lo_rows, hi_rows)
+
+    def surrogate(ci):
+        nn = int(counts[ci])
+        col = np.empty(nn, np.float32)
+        col[:lo_rows[ci] + 1] = a_lo[ci]
+        col[lo_rows[ci] + 1:] = a_hi[ci]
+        return col
+
+    if nan_present:
+        out = []
+        for ci, nn in enumerate(counts):
+            if nn == 0:
+                out.append(np.nan)   # all-NaN column -> NaN (f32 cast below)
+            else:
+                out.append(np.quantile(surrogate(ci),
+                                       np.asarray([q], np.float64))[0])
+        return np.asarray(out, np.float32)
+    block = np.stack([surrogate(ci) for ci in range(len(counts))])
+    return np.quantile(block, np.asarray([q], np.float64), axis=1)[0]
 
 
 def _load_fov_raw(tiff_dir, fov, channels, img_sub_folder, is_mibitiff,
@@ -163,6 +274,7 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
                          pc_chan_avg_som_cluster_name="pixel_channel_avg_som_cluster.csv",
                          pc_chan_avg_meta_cluster_name="pixel_channel_avg_meta_cluster.csv",
                          num_fovs_subset=100, keep_cache=False,
+                         hbm_cache_bytes=_DEFAULT_HBM_CACHE_BYTES,
                          timings=None):
     """Preprocess + SOM-cluster + meta-cluster the pixel cohort in one sweep.
 
@@ -173,6 +285,8 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
     pixel matrix, and one full-feather write per FOV. Returns
     (pixel_pysom, pixel_cc) like the individual steps do.
 
+    ``hbm_cache_bytes`` bounds the device-resident cohort working set
+    (norm matrices between barriers); FOVs past it spill to a disk stash.
     ``timings``: optional dict — per-phase wall seconds are accumulated
     into it (profiling aid for benchmarks/r5_fused_ab.py).
     """
@@ -182,6 +296,7 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
 
     def _mark(name, t0):
         timings[name] = round(timings.get(name, 0.0) + t_phase() - t0, 3)
+
     channels = io_utils.natsorted(channels)
     if subset_proportion <= 0 or subset_proportion > 1:
         raise ValueError("Invalid subset percentage entered: must be in (0, 1]")
@@ -193,6 +308,7 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
     os.makedirs(subset_path, exist_ok=True)
     cache_dir = os.path.join(base_dir, pixel_output_dir, "_fused_cache")
     os.makedirs(cache_dir, exist_ok=True)
+    hbm = _HbmCohortCache(hbm_cache_bytes)
 
     channel_norm_pre_path = os.path.join(base_dir, pixel_output_dir,
                                          norm_vals_name_pre_rownorm)
@@ -218,7 +334,6 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         tiff_dir=tiff_dir, test_fov=fovs[0], img_sub_folder=img_sub_folder,
         channels=channels)
 
-    # ---- phase: per-FOV device sweep (stats + norm matrix, one upload) ----
     need_channel_norm = not os.path.exists(channel_norm_pre_path)
     need_thresh = not os.path.exists(pixel_thresh_path)
     channel_norm_df = None if need_channel_norm \
@@ -228,20 +343,29 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         return (os.path.exists(os.path.join(subset_path, fov + ".feather"))
                 and _data_feather_has_som(data_path, fov))
 
+    fov_shapes = {}
+
+    def _upload_raw(fov):
+        raw, _ = _load_fov_raw(tiff_dir, fov, channels, img_sub_folder,
+                               is_mibitiff, None, seg_suffix)
+        fov_shapes[fov] = raw.shape[:2]
+        return raw, jnp.asarray(raw, jnp.float32)
+
+    # ---- phase: cohort channel percentiles (raw stays resident) ----
     _t0 = t_phase()
     if need_channel_norm:
-        # cohort percentile pass: per-FOV per-channel nonzero quantiles,
-        # FOVs without positive pixels for a channel are excluded from that
-        # channel's mean (reference pixel_cluster_utils.py:16-60)
+        # per-FOV per-channel nonzero quantiles; FOVs without positive
+        # pixels for a channel are excluded from that channel's mean
+        # (reference pixel_cluster_utils.py:16-60)
         per_fov_vals, per_fov_haspos = [], []
         for fov in fovs:
-            raw, _ = _load_fov_raw(tiff_dir, fov, channels, img_sub_folder,
-                                   is_mibitiff, seg_dir, seg_suffix)
-            dev = jnp.asarray(raw, jnp.float32)
+            raw, dev = _upload_raw(fov)
             vals, haspos = _channel_percentiles_device(
                 dev, channel_percentile_pre_rownorm)
             per_fov_vals.append([float(v) for v in np.asarray(vals)])
             per_fov_haspos.append(np.asarray(haspos))
+            if not fov_complete(fov):
+                hbm.put(("raw", fov), (dev, raw))
         means = []
         for ci in range(len(channels)):
             vs = [per_fov_vals[fi][ci] for fi in range(len(fovs))
@@ -263,42 +387,49 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
     norm_vect_f32 = jnp.asarray(
         channel_norm_df.iloc[0].values.astype(np.float32))
 
-    # norm-matrix sweep: one TIFF load per FOV; q05 rides along while the
-    # threshold artifact is still missing
+    def _prep_resident(fov, raw_host):
+        """raw → (norm, rowsums, anynz), cached in HBM or spilled. The
+        channel-norm divide runs on HOST because the artifact contract is
+        f32(f64 divide), which the TPU (no f64) cannot produce — the f32
+        device divide differs in the last ulp."""
+        dev_prep = jnp.asarray(pixie_preprocessing.channel_norm_divide(
+            raw_host, norm_vect_f64))
+        norm, rowsums, anynz = _prep_fov_parts(dev_prep,
+                                               blur_factor=blur_factor)
+        if hbm.put(("norm", fov), (norm, rowsums, anynz)):
+            return True
+        _atomic_npy(_norm_path(cache_dir, fov), np.asarray(norm))
+        _atomic_npz(_stash_path(cache_dir, fov),
+                    rowsums=np.asarray(rowsums),
+                    anynz=np.asarray(anynz),
+                    shape=np.array(raw_host.shape[:2]))
+        return False
+
+    # ---- phase: norm-matrix sweep (q05 rides along while the threshold
+    # artifact is still missing) ----
     _t0 = t_phase()
     q05s = {}
     for fov in fovs:
-        stash = _stash_path(cache_dir, fov)
-        has_stash = os.path.exists(stash)
-        if has_stash and not need_thresh:
+        done = fov_complete(fov)
+        has_state = (hbm.get(("norm", fov)) is not None
+                     or (os.path.exists(_stash_path(cache_dir, fov))
+                         and os.path.exists(_norm_path(cache_dir, fov))))
+        if (done or has_state) and not need_thresh:
+            hbm.pop(("raw", fov))
             continue
-        if has_stash and need_thresh:
-            try:
-                q05s[fov] = float(np.load(stash)["q05"])
-                continue
-            except Exception:
-                pass  # corrupted stash: recompute below
-        if fov_complete(fov) and not need_thresh:
-            continue
-        raw, _ = _load_fov_raw(tiff_dir, fov, channels, img_sub_folder,
-                               is_mibitiff, seg_dir, seg_suffix)
-        q05 = _intensity_q05(
-            jnp.asarray(raw, jnp.float32) / norm_vect_f32)
-        q05s[fov] = q05
-        if not fov_complete(fov):
-            dev_prep = jnp.asarray(pixie_preprocessing.channel_norm_divide(
-                raw, norm_vect_f64))
-            norm, rowsums, anynz = _prep_fov_parts(
-                dev_prep, blur_factor=blur_factor)
-            # the big norm matrix goes in its own .npy (written before the
-            # stash marker, mmap-read later so the valid-row gathers pull
-            # only the pages they touch); rowsums/anynz/q05 ride the npz
-            _atomic_npy(_norm_path(cache_dir, fov), np.asarray(norm))
-            _atomic_npz(stash, rowsums=np.asarray(rowsums),
-                        anynz=np.asarray(anynz), q05=np.float32(q05),
-                        shape=np.array(raw.shape[:2]))
-
+        raw_res = hbm.pop(("raw", fov))
+        raw_dev, raw_host = raw_res if raw_res else (None, None)
+        if need_thresh:
+            if raw_dev is None:
+                raw_host, raw_dev = _upload_raw(fov)
+            q05s[fov] = _intensity_q05(raw_dev / norm_vect_f32)
+        if not (done or has_state):
+            if raw_host is None:
+                raw_host, raw_dev = _upload_raw(fov)
+            _prep_resident(fov, raw_host)
+        del raw_dev, raw_host
     _mark("norm_sweep_s", _t0)
+
     if need_thresh:
         pixel_thresh_val = float(np.mean([q05s[f] for f in fovs]))
         feather.write_dataframe(
@@ -308,7 +439,51 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         pixel_thresh_val = feather.read_dataframe(
             pixel_thresh_path)["pixel_thresh_val"].values[0]
 
-    # ---- phase: host-only subset + per-FOV 99.9% quantile ----
+    def _get_fov_state(fov):
+        """(norm_keep_dev or None, norm_keep_host or None, keep, width).
+        Resident path: the cache's full norm is replaced by its valid-row
+        gather (host sees only the 1-bit mask); spilled path: mmap gather
+        on host. Regenerates from TIFFs if neither source exists (resume
+        with a deleted cache)."""
+        got = hbm.get(("norm_keep", fov))
+        if got is not None:
+            return got[0], None, got[1], fov_shapes[fov][1]
+        res = hbm.pop(("norm", fov))
+        if res is not None:
+            norm_dev, rowsums, anynz = res
+            mask = np.asarray(_valid_mask_device(
+                rowsums, anynz, jnp.float32(pixel_thresh_val)))
+            keep = np.flatnonzero(mask)
+            keep_dev = jnp.asarray(keep.astype(np.int32))
+            norm_keep = jnp.take(norm_dev, keep_dev, axis=0)
+            hbm.put(("norm_keep", fov), (norm_keep, keep))
+            return norm_keep, None, keep, fov_shapes[fov][1]
+        # disk stash / regeneration path
+        norm = rowsums = anynz = w = None
+        if (os.path.exists(_stash_path(cache_dir, fov))
+                and os.path.exists(_norm_path(cache_dir, fov))):
+            try:
+                z = np.load(_stash_path(cache_dir, fov))
+                rowsums, anynz = z["rowsums"], z["anynz"]
+                w = int(z["shape"][1])
+                norm = np.load(_norm_path(cache_dir, fov), mmap_mode="r")
+            except Exception:
+                norm = None
+        if norm is None:
+            raw, _ = _load_fov_raw(tiff_dir, fov, channels, img_sub_folder,
+                                   is_mibitiff, None, seg_suffix)
+            w = raw.shape[1]
+            dn, dr, da = _prep_fov_parts(
+                jnp.asarray(pixie_preprocessing.channel_norm_divide(
+                    raw, norm_vect_f64)),
+                blur_factor=blur_factor)
+            norm, rowsums, anynz = (np.asarray(dn), np.asarray(dr),
+                                    np.asarray(da))
+        valid = (rowsums > np.float32(pixel_thresh_val)) & anynz
+        keep = np.flatnonzero(valid)
+        return None, norm[keep], keep, w
+
+    # ---- phase: per-FOV subset + 99.9% quantile ----
     _t0 = t_phase()
     quant_dat_all = pd.read_csv(quantile_path, index_col="channel") \
         if os.path.exists(quantile_path) else pd.DataFrame()
@@ -317,10 +492,9 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         sub_file = os.path.join(subset_path, fov + ".feather")
         if os.path.exists(sub_file) and fov in quant_dat_all.columns:
             continue
-        norm_keep, keep, w, seg_labels = _load_valid_rows(
-            cache_dir, fov, pixel_thresh_val, tiff_dir, channels,
-            img_sub_folder, is_mibitiff, seg_dir, seg_suffix, norm_vect_f64,
-            blur_factor)
+        seg_labels = None if seg_dir is None else read_image(
+            os.path.join(seg_dir, fov + seg_suffix))
+        norm_keep_dev, norm_keep_host, keep, w = _get_fov_state(fov)
 
         # subset: same draw as `pixel_mat.sample(frac=...)` after
         # np.random.seed(seed) — pandas samples via the global RandomState
@@ -328,7 +502,12 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         np.random.seed(seed)
         n_sub = int(round(subset_proportion * len(keep)))
         locs = np.random.choice(len(keep), size=n_sub, replace=False)
-        sub_df = pd.DataFrame(norm_keep[locs], columns=channels,
+        if norm_keep_dev is not None:
+            sub_vals = np.asarray(jnp.take(
+                norm_keep_dev, jnp.asarray(locs.astype(np.int32)), axis=0))
+        else:
+            sub_vals = norm_keep_host[locs]
+        sub_df = pd.DataFrame(sub_vals, columns=channels,
                               index=locs.astype(np.int64))
         sub_df["fov"] = fov
         sub_df["row_index"] = (keep[locs] // w).astype(np.int64)
@@ -339,12 +518,31 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
 
         # per-FOV 99.9% nonzero quantile, exact pandas
         # `.replace(0, nan).quantile(q)` semantics per column
-        qvals = []
-        for ci in range(len(channels)):
-            m = norm_keep[:, ci].copy()
-            m[m == 0] = np.nan
-            qvals.append(pd.Series(m).quantile(
-                q=channel_percentile_post_rownorm))
+        if norm_keep_dev is not None:
+            sorted_dev, counts_dev = _quantile_stats_device(norm_keep_dev)
+            counts = np.asarray(counts_dev)
+
+            def sorted_cols(lo_rows, hi_rows, _s=sorted_dev):
+                rows = jnp.asarray(
+                    np.stack([lo_rows, hi_rows]).astype(np.int32))
+                picked = jnp.take_along_axis(
+                    _s, rows, axis=0)                        # (2, C)
+                return np.asarray(picked[0]), np.asarray(picked[1])
+        else:
+            nz_sorted = [np.sort(norm_keep_host[:, ci]
+                                 [norm_keep_host[:, ci] != 0])
+                         for ci in range(len(channels))]
+            counts = np.asarray([len(z) for z in nz_sorted])
+
+            def sorted_cols(lo_rows, hi_rows, _z=nz_sorted):
+                a_lo = np.asarray([z[i] if len(z) else np.float32(np.nan)
+                                   for z, i in zip(_z, lo_rows)])
+                a_hi = np.asarray([z[i] if len(z) else np.float32(np.nan)
+                                   for z, i in zip(_z, hi_rows)])
+                return a_lo, a_hi
+
+        qvals = _fov_quantiles(sorted_cols, counts, len(keep),
+                               channel_percentile_post_rownorm)
         quant_fov = pd.Series(qvals, index=pd.Index(channels, name="channel"),
                               name=fov)
         if fov in quant_dat_all.columns:
@@ -359,7 +557,6 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         mean_quant = mean_quant.reindex(io_utils.natsorted(mean_quant.index))
         feather.write_dataframe(mean_quant.T, norm_post_path,
                                 compression="uncompressed")
-
     _mark("subset_quantile_s", _t0)
 
     # ---- phase: SOM training (unchanged machinery) ----
@@ -369,7 +566,6 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         norm_vals_name=norm_vals_name_post_rownorm,
         som_weights_name=som_weights_name, xdim=xdim, ydim=ydim,
         lr_start=lr_start, lr_end=lr_end, num_passes=num_passes, seed=seed)
-
     _mark("som_train_s", _t0)
 
     # ---- phase: per-FOV assignment + single full-feather write ----
@@ -377,19 +573,27 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
     weights_cols = list(pixel_pysom.weights.columns)
     weights_f32 = pixel_pysom.weights.values.astype(np.float32)
     norm_vals_row = pixel_pysom.norm_data.iloc[0].values  # f64, weights order
-    assert weights_cols == channels, (weights_cols, channels)
+    if weights_cols != channels:
+        raise ValueError(
+            f"SOM weights columns {weights_cols} do not match the "
+            f"natural-sorted channels {channels}; retrain or pass the "
+            f"channel set the weights were trained on")
     print("Mapping pixel data to SOM cluster labels")
     for fov in fovs:
         if _data_feather_has_som(data_path, fov):
+            hbm.pop(("norm", fov))
+            hbm.pop(("norm_keep", fov))
             continue
-        norm_keep, keep, w, seg_labels = _load_valid_rows(
-            cache_dir, fov, pixel_thresh_val, tiff_dir, channels,
-            img_sub_folder, is_mibitiff, seg_dir, seg_suffix, norm_vect_f64,
-            blur_factor)
+        seg_labels = None if seg_dir is None else read_image(
+            os.path.join(seg_dir, fov + seg_suffix))
+        norm_keep_dev, norm_keep_host, keep, w = _get_fov_state(fov)
+        if norm_keep_dev is not None:
+            norm_keep_host = np.asarray(norm_keep_dev)   # ONE full readback
+            hbm.pop(("norm_keep", fov))
         # f64 norm-divide: bitwise-equal to the pandas upcast div the
         # multi-pass assignment applies (assign_som_clusters_table)
-        normalized = np.empty(norm_keep.shape, np.float64)
-        np.divide(norm_keep, norm_vals_row, out=normalized)
+        normalized = np.empty(norm_keep_host.shape, np.float64)
+        np.divide(norm_keep_host, norm_vals_row, out=normalized)
         labels, _ = som_ops.som_map(
             weights_f32, normalized.astype(np.float32), return_dist=False)
         labels = np.asarray(labels)
@@ -411,15 +615,13 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         os.replace(out_file + ".tmp", out_file)
         if not keep_cache:
             # nothing downstream needs this FOV's stash once the labeled
-            # feather is committed; dropping it early bounds cache disk
-            # at ~one cohort of norm matrices instead of growing past it
+            # feather is committed
             for leftover in (_stash_path(cache_dir, fov),
                              _norm_path(cache_dir, fov)):
                 try:
                     os.remove(leftover)
                 except OSError:
                     pass
-
     _mark("assign_write_s", _t0)
 
     # ---- phase: averages + consensus + meta labels (unchanged machinery,
@@ -437,45 +639,8 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         pc_chan_avg_som_cluster_name=pc_chan_avg_som_cluster_name,
         pc_chan_avg_meta_cluster_name=pc_chan_avg_meta_cluster_name,
         num_fovs_subset=num_fovs_subset, seed=seed)
-
     _mark("avg_consensus_meta_s", _t0)
 
     if not keep_cache:
         rmtree(cache_dir, ignore_errors=True)
     return pixel_pysom, pixel_cc
-
-
-def _load_valid_rows(cache_dir, fov, pixel_thresh_val, tiff_dir, channels,
-                     img_sub_folder, is_mibitiff, seg_dir, seg_suffix,
-                     norm_vect_f64, blur_factor):
-    """Valid rows of a FOV's normalized matrix from the stash (regenerated
-    from the TIFF tree if missing/corrupt). Returns
-    (norm_keep (n, C) f32, keep indices, width, seg_labels or None)."""
-    stash = _stash_path(cache_dir, fov)
-    norm = rowsums = anynz = w = None
-    if os.path.exists(stash) and os.path.exists(_norm_path(cache_dir, fov)):
-        try:
-            z = np.load(stash)
-            rowsums, anynz = z["rowsums"], z["anynz"]
-            w = int(z["shape"][1])
-            norm = np.load(_norm_path(cache_dir, fov), mmap_mode="r")
-        except Exception:
-            norm = None
-    seg_labels = None
-    if seg_dir is not None:
-        seg_labels = read_image(os.path.join(seg_dir, fov + seg_suffix))
-    if norm is None:
-        raw, _ = _load_fov_raw(tiff_dir, fov, channels, img_sub_folder,
-                               is_mibitiff, None, seg_suffix)
-        w = raw.shape[1]
-        dn, dr, da = _prep_fov_parts(
-            jnp.asarray(pixie_preprocessing.channel_norm_divide(
-                raw, norm_vect_f64)),
-            blur_factor=blur_factor)
-        norm, rowsums, anynz = (np.asarray(dn), np.asarray(dr),
-                                np.asarray(da))
-    # exact comparison semantics of `_prep_fov_device`: rowsums (f32) vs
-    # the threshold as the device would compare it
-    valid = (rowsums > np.float32(pixel_thresh_val)) & anynz
-    keep = np.flatnonzero(valid)
-    return norm[keep], keep, w, seg_labels

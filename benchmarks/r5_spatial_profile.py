@@ -1,0 +1,100 @@
+"""Spatial stage at cohort scale: bucketed vs per-shape device programs.
+
+VERDICT-r4 weak #5: the endurance run spent 445 s/100 FOVs on dist mats +
+enrichment while the device math is ms-scale. The dominator hypothesis is
+per-FOV executable churn — every FOV has a distinct cell count N and
+phenotype count M, so unbucketed cdist/enrichment kernels trace + compile
+fresh programs per FOV on the relay attach. This drives the REAL
+spatial_enrichment template end-to-end on a synthetic endurance-shaped
+cell table and times both arms in one process: the shape-bucketed kernels
+(current code), then a no-bucket arm with ``shape_bucket`` monkeypatched
+to identity (the bucketed arm runs first so its two compiles don't
+benefit from the no-bucket arm's hundred).
+
+Usage: python benchmarks/r5_spatial_profile.py [--n 100] [--cells 250]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+from r4_kernel_bench import _setup_cache  # noqa: E402
+
+
+def build_cell_table(n_fovs, cells_per_fov, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    phenos = ["tumor", "tcell", "bcell", "macrophage", "stroma", "endo"]
+    for i in range(n_fovs):
+        # vary N per FOV (the shape-churn driver) around the target
+        n = int(cells_per_fov * rng.uniform(0.7, 1.3))
+        rows.append(pd.DataFrame({
+            "fov": f"fov{i}",
+            "label": np.arange(1, n + 1),
+            "centroid-0": rng.uniform(0, 1024, n),
+            "centroid-1": rng.uniform(0, 1024, n),
+            "cell_meta_cluster": rng.choice(phenos, n),
+        }))
+    return pd.concat(rows, ignore_index=True)
+
+
+def run_stage(base_dir, ct_path, timings):
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "templates"))
+    import importlib
+    te = importlib.import_module("spatial_enrichment")
+    from ark_tpu.analysis import spatial_analysis_utils
+    all_data = pd.read_csv(ct_path)
+    dist_dir = os.path.join(base_dir, "spatial_analysis", "dist_mats")
+    t0 = time.perf_counter()
+    spatial_analysis_utils.ensure_dist_matrices(all_data, dist_dir)
+    timings["dist_mats_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    te.main(base_dir, ct_path, dist_lim=50, bootstrap_num=100)
+    timings["template_total_s"] = round(time.perf_counter() - t0, 1)
+
+
+def main(n_fovs=100, cells_per_fov=250):
+    _setup_cache()
+    from ark_tpu.ops import distances
+
+    ct = build_cell_table(n_fovs, cells_per_fov)
+    out = {"n_fovs": n_fovs, "cells_per_fov": cells_per_fov}
+
+    for arm in ("bucketed", "per_shape"):
+        base = tempfile.mkdtemp(prefix=f"spatial_{arm}_")
+        ct_path = os.path.join(base, "cell_table.csv")
+        ct_arm = ct.copy()
+        ct_arm.to_csv(ct_path, index=False)
+        if arm == "per_shape":
+            distances.shape_bucket = lambda n, floor=128: n  # identity
+        timings = {}
+        t0 = time.perf_counter()
+        try:
+            run_stage(base, ct_path, timings)
+            out[arm] = {**timings,
+                        "stage_s": round(time.perf_counter() - t0, 1)}
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    out["speedup"] = round(
+        out["per_shape"]["stage_s"] / out["bucketed"]["stage_s"], 2)
+    out["bucketed_s_per_fov"] = round(out["bucketed"]["stage_s"] / n_fovs, 2)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=100)
+    p.add_argument("--cells", type=int, default=250)
+    a = p.parse_args()
+    main(n_fovs=a.n, cells_per_fov=a.cells)

@@ -128,6 +128,51 @@ def test_batched_channel_percentiles_match_per_channel():
             assert batched[c] == np.float32(single)
 
 
+def test_fused_spill_path_matches_resident(cohort_pair, tmp_path):
+    """hbm_cache_bytes=0 forces every FOV through the disk-stash spill
+    path; artifacts must be bitwise-identical to the resident run (which
+    must equal multipass, so compare against the multipass base)."""
+    base_mp, _ = cohort_pair
+    base_sp, tiff_sp, seg_sp = _build_cohort(tmp_path / "spill")
+    pixie_fused.run_pixel_clustering(
+        FOVS, CHANNELS, base_sp, tiff_sp, seg_dir=seg_sp,
+        img_sub_folder=None, max_k=MAX_K, subset_proportion=0.5,
+        hbm_cache_bytes=0)
+    _assert_same_artifacts(base_mp, base_sp)
+
+
+def test_fov_quantiles_replicates_pandas():
+    """_fov_quantiles (order-stat surrogate replication) must equal the
+    real pandas frame quantile bitwise on both numpy paths: any-NaN
+    (per-column f32 np.quantile) and no-NaN (f64 2-D np.quantile)."""
+    rng = np.random.default_rng(12345)
+    for trial in range(40):
+        n = int(rng.integers(3, 3000))
+        c = int(rng.integers(1, 7))
+        q = float(rng.choice([0.999, 0.99, 0.5, 0.05, 0.75]))
+        v = rng.random((n, c)).astype(np.float32)
+        mode = trial % 3
+        if mode == 0:
+            v[v < 0.3] = 0.0          # NaN path
+        elif mode == 1 and c > 1:
+            v[:, 0] = 0.0             # an all-NaN column
+        ref = pd.DataFrame(v).replace(0, np.nan).quantile(q=q, axis=0)
+
+        nz_sorted = [np.sort(v[:, ci][v[:, ci] != 0]) for ci in range(c)]
+        counts = np.asarray([len(z) for z in nz_sorted])
+
+        def sorted_cols(lo_rows, hi_rows, _z=nz_sorted):
+            a_lo = np.asarray([z[i] if len(z) else np.float32(np.nan)
+                               for z, i in zip(_z, lo_rows)])
+            a_hi = np.asarray([z[i] if len(z) else np.float32(np.nan)
+                               for z, i in zip(_z, hi_rows)])
+            return a_lo, a_hi
+
+        got = pixie_fused._fov_quantiles(sorted_cols, counts, n, q)
+        assert got.dtype == ref.values.dtype, (trial, got.dtype, ref.dtype)
+        np.testing.assert_array_equal(got, ref.values, err_msg=str(trial))
+
+
 def test_fused_resume_after_partial_run(tmp_path):
     """A fused run killed mid-stage resumes to the same artifacts: stash
     files survive, finished FOVs are skipped, and the final state matches
