@@ -579,14 +579,34 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
             f"natural-sorted channels {channels}; retrain or pass the "
             f"channel set the weights were trained on")
     print("Mapping pixel data to SOM cluster labels")
-    for fov in fovs:
-        if _data_feather_has_som(data_path, fov):
-            hbm.pop(("norm", fov))
-            hbm.pop(("norm_keep", fov))
-            continue
+    todo = [f for f in fovs if not _data_feather_has_som(data_path, f)]
+    for f in fovs:
+        if f not in todo:
+            hbm.pop(("norm", f))
+            hbm.pop(("norm_keep", f))
+    # pipeline the big readback: while FOV i runs its host tail (f64
+    # divide, BMU upload, arrow build, feather write, ~seconds), FOV i+1's
+    # valid-row matrix is already streaming device→host. On the relay
+    # attach the d2h leg is 2-6 s/FOV — fully hidden behind the host work.
+    pending = {}
+
+    def _start_readback(f):
+        dev, host, keep_f, w_f = _get_fov_state(f)
+        if dev is not None:
+            try:
+                dev.copy_to_host_async()
+            except Exception:
+                pass  # backends without async copy fall back to sync below
+        pending[f] = (dev, host, keep_f, w_f)
+
+    if todo:
+        _start_readback(todo[0])
+    for i, fov in enumerate(todo):
+        if i + 1 < len(todo):
+            _start_readback(todo[i + 1])
         seg_labels = None if seg_dir is None else read_image(
             os.path.join(seg_dir, fov + seg_suffix))
-        norm_keep_dev, norm_keep_host, keep, w = _get_fov_state(fov)
+        norm_keep_dev, norm_keep_host, keep, w = pending.pop(fov)
         if norm_keep_dev is not None:
             norm_keep_host = np.asarray(norm_keep_dev)   # ONE full readback
             hbm.pop(("norm_keep", fov))
@@ -631,15 +651,19 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         fovs, channels, base_dir, pixel_pysom, data_dir=data_dir,
         pc_chan_avg_som_cluster_name=pc_chan_avg_som_cluster_name,
         num_fovs_subset=num_fovs_subset, seed=seed)
+    _mark("som_avg_s", _t0)
+    _t0 = t_phase()
     pixel_cc = pixel_meta_clustering.pixel_consensus_cluster(
         fovs, channels, base_dir, max_k=max_k, cap=cap, data_dir=data_dir,
         pc_chan_avg_som_cluster_name=pc_chan_avg_som_cluster_name, seed=seed)
+    _mark("consensus_meta_assign_s", _t0)
+    _t0 = t_phase()
     pixel_meta_clustering.generate_meta_avg_files(
         fovs, channels, base_dir, pixel_cc, data_dir=data_dir,
         pc_chan_avg_som_cluster_name=pc_chan_avg_som_cluster_name,
         pc_chan_avg_meta_cluster_name=pc_chan_avg_meta_cluster_name,
         num_fovs_subset=num_fovs_subset, seed=seed)
-    _mark("avg_consensus_meta_s", _t0)
+    _mark("meta_avg_s", _t0)
 
     if not keep_cache:
         rmtree(cache_dir, ignore_errors=True)
