@@ -141,12 +141,12 @@ def blob_quality(emb, labels):
     tests/ops/test_umap_quality.py)."""
     intra, inter = [], []
     for c in np.unique(labels):
-        pts = emb[labels == c]
-        others = emb[labels != c]
+        pts = emb[labels == c][:200]
+        others = emb[labels != c][:200]
         intra.append(np.linalg.norm(
-            pts[:, None, :200] - pts[None, :200], axis=-1).mean())
+            pts[:, None, :] - pts[None, :, :], axis=-1).mean())
         inter.append(np.linalg.norm(
-            pts[:200, None] - others[None, :200], axis=-1).mean())
+            pts[:, None, :] - others[None, :, :], axis=-1).mean())
     return float(np.mean(intra) / np.mean(inter))
 
 
