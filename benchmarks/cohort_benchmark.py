@@ -221,7 +221,7 @@ def main(n_fovs=10, size=1024, channels=16, cells_per_fov=3000, seed=42,
         coords = jnp.stack([cy, cx], axis=1)
         d = dist_ops.pairwise_distances(coords, coords, zero_diagonal=True)
         dist_bin = ((d < 50) & (d > 0)).astype(jnp.float32)
-        null = se._permutation_null(dist_bin, pos, 42, boots)
+        null = se._permutation_null(dist_bin, pos, cells_per_fov, 42, boots)
         obs = se._observed(dist_bin, pos)
         return obs, null.mean(0), null.std(0)
 
