@@ -248,6 +248,27 @@ def bmu_pallas(weights: jax.Array, data: jax.Array, block_n: int = 2048,
                                with_dist=return_dist)
 
 
+def som_map_async(weights, data, impl: str = "auto"):
+    """Dispatch-only BMU mapping: uploads + launches and returns the
+    0-indexed device cluster array WITHOUT materializing it to host
+    (``np.asarray`` on the result blocks). Lets callers overlap the h2d
+    upload + kernel with host work — e.g. the fused pixie assign loop
+    writes FOV i-1's feather while FOV i's BMU is in flight. Labels are
+    the same executable `som_map` runs, so results are bitwise-identical
+    to the synchronous path."""
+    weights = jnp.asarray(weights, jnp.float32)
+    data = jnp.asarray(data, jnp.float32)
+    if data.shape[0] == 0:
+        return jnp.empty(0, jnp.int32)
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu")
+    if use_pallas:
+        idx, _ = bmu_pallas(weights, data, return_dist=False)
+    else:
+        idx, _ = jax.jit(bmu_xla)(weights, data)
+    return idx
+
+
 def som_map(weights, data, impl: str = "auto",
             return_dist: bool = True) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Map observations to their best-matching SOM node.
@@ -257,6 +278,9 @@ def som_map(weights, data, impl: str = "auto",
     the rows. Returns (clusters [1-indexed, matching pyFlowSOM], distances);
     pass `return_dist=False` to skip the distance pass (~2x faster).
     """
+    if not return_dist:
+        idx = som_map_async(weights, data, impl=impl)
+        return np.asarray(idx) + 1, None
     weights = jnp.asarray(weights, jnp.float32)
     data = jnp.asarray(data, jnp.float32)
     if data.shape[0] == 0:

@@ -584,10 +584,13 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         if f not in todo:
             hbm.pop(("norm", f))
             hbm.pop(("norm_keep", f))
-    # pipeline the big readback: while FOV i runs its host tail (f64
-    # divide, BMU upload, arrow build, feather write, ~seconds), FOV i+1's
-    # valid-row matrix is already streaming device→host. On the relay
-    # attach the d2h leg is 2-6 s/FOV — fully hidden behind the host work.
+    # Depth-2 software pipeline over the per-FOV chain
+    #   d2h(norm_keep) → f64 divide → h2d+BMU → labels d2h → feather write
+    # so the relay's transfer legs (network-bound, 1.5-3 s per 64 MB each
+    # way at this attach's 19-49 MB/s) overlap the host CPU legs instead
+    # of adding to them: FOV i+1's valid-row matrix streams down while
+    # FOV i's host tail runs, and FOV i's BMU upload + kernel fly while
+    # FOV i-1's arrow build + feather write run on host.
     pending = {}
 
     def _start_readback(f):
@@ -599,49 +602,69 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
                 pass  # backends without async copy fall back to sync below
         pending[f] = (dev, host, keep_f, w_f)
 
-    if todo:
-        _start_readback(todo[0])
-    for i, fov in enumerate(todo):
-        if i + 1 < len(todo):
-            _start_readback(todo[i + 1])
-        seg_labels = None if seg_dir is None else read_image(
-            os.path.join(seg_dir, fov + seg_suffix))
-        norm_keep_dev, norm_keep_host, keep, w = pending.pop(fov)
-        if norm_keep_dev is not None:
-            norm_keep_host = np.asarray(norm_keep_dev)   # ONE full readback
-            hbm.pop(("norm_keep", fov))
-        # f64 norm-divide: bitwise-equal to the pandas upcast div the
-        # multi-pass assignment applies (assign_som_clusters_table)
-        normalized = np.empty(norm_keep_host.shape, np.float64)
-        np.divide(norm_keep_host, norm_vals_row, out=normalized)
-        labels, _ = som_ops.som_map(
-            weights_f32, normalized.astype(np.float32), return_dist=False)
-        labels = np.asarray(labels)
+    def _flush(entry):
+        """Materialize labels (blocks on the in-flight BMU) and commit the
+        FOV's single full feather: normalized channels + coords + label +
+        SOM column, bitwise-equal to the multi-pass artifact."""
+        fov_p, labels_dev, normalized, keep_p, w_p, seg_p = entry
+        labels = np.asarray(labels_dev) + 1   # 1-indexed, as som_map
         pixel_pysom.som_clusters_seen.update(list(np.unique(labels)))
-
-        n = len(keep)
+        n = len(keep_p)
         cols = {c: pa.array(normalized[:, ci])
                 for ci, c in enumerate(channels)}
-        cols["fov"] = pa.array([fov], type=pa.large_string()).take(
+        cols["fov"] = pa.array([fov_p], type=pa.large_string()).take(
             pa.array(np.zeros(n, np.int64)))
-        cols["row_index"] = pa.array((keep // w).astype(np.int64))
-        cols["column_index"] = pa.array((keep % w).astype(np.int64))
-        if seg_labels is not None:
-            cols["label"] = pa.array(seg_labels.ravel()[keep])
+        cols["row_index"] = pa.array((keep_p // w_p).astype(np.int64))
+        cols["column_index"] = pa.array((keep_p % w_p).astype(np.int64))
+        if seg_p is not None:
+            cols["label"] = pa.array(seg_p.ravel()[keep_p])
         cols["pixel_som_cluster"] = pa.array(labels.astype(np.int32))
-        out_file = os.path.join(data_path, fov + ".feather")
+        out_file = os.path.join(data_path, fov_p + ".feather")
         feather.write_table(pa.table(cols), out_file + ".tmp",
                             compression="uncompressed")
         os.replace(out_file + ".tmp", out_file)
         if not keep_cache:
             # nothing downstream needs this FOV's stash once the labeled
             # feather is committed
-            for leftover in (_stash_path(cache_dir, fov),
-                             _norm_path(cache_dir, fov)):
+            for leftover in (_stash_path(cache_dir, fov_p),
+                             _norm_path(cache_dir, fov_p)):
                 try:
                     os.remove(leftover)
                 except OSError:
                     pass
+
+    if todo:
+        _start_readback(todo[0])
+    in_flight = None
+    for i, fov in enumerate(todo):
+        if i + 1 < len(todo):
+            _start_readback(todo[i + 1])
+        seg_labels = None if seg_dir is None else read_image(
+            os.path.join(seg_dir, fov + seg_suffix))
+        norm_keep_dev, norm_keep_host, keep, w = pending.pop(fov)
+        _td = t_phase()
+        if norm_keep_dev is not None:
+            norm_keep_host = np.asarray(norm_keep_dev)   # ONE full readback
+            hbm.pop(("norm_keep", fov))
+        _mark("assign_d2h_wait_s", _td)
+        # f64 norm-divide: bitwise-equal to the pandas upcast div the
+        # multi-pass assignment applies (assign_som_clusters_table)
+        normalized = np.empty(norm_keep_host.shape, np.float64)
+        np.divide(norm_keep_host, norm_vals_row, out=normalized)
+        # dispatch-only BMU: upload + kernel run while the PREVIOUS FOV's
+        # feather write (below) occupies the host
+        labels_dev = som_ops.som_map_async(
+            weights_f32, normalized.astype(np.float32))
+        entry = (fov, labels_dev, normalized, keep, w, seg_labels)
+        if in_flight is not None:
+            _tf = t_phase()
+            _flush(in_flight)
+            _mark("assign_flush_s", _tf)
+        in_flight = entry
+    if in_flight is not None:
+        _tf = t_phase()
+        _flush(in_flight)
+        _mark("assign_flush_s", _tf)
     _mark("assign_write_s", _t0)
 
     # ---- phase: averages + consensus + meta labels (unchanged machinery,
