@@ -63,31 +63,47 @@ def run_stage(base_dir, ct_path, timings):
     timings["template_total_s"] = round(time.perf_counter() - t0, 1)
 
 
-def main(n_fovs=100, cells_per_fov=250):
+def main(n_fovs=100, cells_per_fov=250, pershape_n=None):
+    """``pershape_n``: FOV count for the no-bucket arm (default: same as
+    ``n_fovs``). The no-bucket arm compiles one remote program per distinct
+    (N, M) shape — at 100 FOVs that is hours of remote compiles, so the arm
+    runs on a prefix of the cohort and is compared per-FOV."""
     _setup_cache()
     from ark_tpu.ops import distances
 
     ct = build_cell_table(n_fovs, cells_per_fov)
     out = {"n_fovs": n_fovs, "cells_per_fov": cells_per_fov}
+    pershape_n = pershape_n or n_fovs
+    out["pershape_n_fovs"] = pershape_n
+    pershape_fovs = [f"fov{i}" for i in range(pershape_n)]
 
     for arm in ("bucketed", "per_shape"):
         base = tempfile.mkdtemp(prefix=f"spatial_{arm}_")
         ct_path = os.path.join(base, "cell_table.csv")
-        ct_arm = ct.copy()
+        ct_arm = ct if arm == "bucketed" \
+            else ct[ct["fov"].isin(pershape_fovs)]
         ct_arm.to_csv(ct_path, index=False)
+        arm_n = n_fovs if arm == "bucketed" else pershape_n
         if arm == "per_shape":
-            distances.shape_bucket = lambda n, floor=128: n  # identity
+            # patch BOTH bindings: the module attribute (dist-matrix path)
+            # and spatial_enrichment's import-time alias
+            from ark_tpu.analysis import spatial_enrichment as se_mod
+            ident = lambda n, floor=128: n  # noqa: E731
+            distances.shape_bucket = ident
+            se_mod._bucket = ident
         timings = {}
         t0 = time.perf_counter()
         try:
             run_stage(base, ct_path, timings)
             out[arm] = {**timings,
-                        "stage_s": round(time.perf_counter() - t0, 1)}
+                        "stage_s": round(time.perf_counter() - t0, 1),
+                        "s_per_fov": round(
+                            (time.perf_counter() - t0) / arm_n, 2)}
         finally:
             shutil.rmtree(base, ignore_errors=True)
-    out["speedup"] = round(
-        out["per_shape"]["stage_s"] / out["bucketed"]["stage_s"], 2)
-    out["bucketed_s_per_fov"] = round(out["bucketed"]["stage_s"] / n_fovs, 2)
+    out["speedup_per_fov"] = round(
+        out["per_shape"]["s_per_fov"] / out["bucketed"]["s_per_fov"], 2)
+    out["bucketed_s_per_fov"] = out["bucketed"]["s_per_fov"]
     print(json.dumps(out))
     return out
 
@@ -96,5 +112,6 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=100)
     p.add_argument("--cells", type=int, default=250)
+    p.add_argument("--pershape-n", type=int, default=None)
     a = p.parse_args()
-    main(n_fovs=a.n, cells_per_fov=a.cells)
+    main(n_fovs=a.n, cells_per_fov=a.cells, pershape_n=a.pershape_n)
