@@ -154,10 +154,16 @@ def compute_pixel_cluster_channel_avg(fovs, channels, base_dir,
                                       num_pixel_clusters: Optional[int],
                                       pixel_data_dir='pixel_mat_data',
                                       num_fovs_subset=100, seed=42,
-                                      keep_count=False) -> pd.DataFrame:
+                                      keep_count=False,
+                                      table_source=None) -> pd.DataFrame:
     """Average channel expression per pixel SOM/meta cluster over a ≤
     `num_fovs_subset` random FOV subset (reference :294-416): per-FOV
-    groupby sums+counts, cohort-level merge, mean = sum/count."""
+    groupby sums+counts, cohort-level merge, mean = sum/count.
+
+    ``table_source``: optional ``(fov, columns) -> DataFrame | None`` hook —
+    the fused single-sweep driver serves RAM-resident per-FOV frames
+    (identical content to a column-selected feather read) so the averaging
+    pass costs zero disk IO; ``None`` falls back to the on-disk feather."""
     verify_in_list(provided_cluster_col=[pixel_cluster_col],
                    valid_cluster_cols=["pixel_som_cluster", "pixel_meta_cluster"])
     if num_pixel_clusters is not None and num_pixel_clusters <= 0:
@@ -176,6 +182,14 @@ def compute_pixel_cluster_channel_avg(fovs, channels, base_dir,
     per_fov = []
     need_cols = list(channels) + [pixel_cluster_col]
     for fov in fovs_sub:
+        if table_source is not None:
+            fov_data = table_source(fov, need_cols)
+            if fov_data is not None:
+                g = fov_data.groupby(pixel_cluster_col)
+                agg = g[channels].sum()
+                agg["count"] = g.size()
+                per_fov.append(agg.reset_index())
+                continue
         fov_path = os.path.join(base_dir, pixel_data_dir, fov + ".feather")
         try:
             # column-selected read: the groupby needs channels + the

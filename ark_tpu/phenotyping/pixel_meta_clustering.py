@@ -109,9 +109,13 @@ def generate_meta_avg_files(fovs, channels, base_dir, pixel_cc,
                             data_dir="pixel_mat_data",
                             pc_chan_avg_som_cluster_name="pixel_channel_avg_som_cluster.csv",
                             pc_chan_avg_meta_cluster_name="pixel_channel_avg_meta_cluster.csv",
-                            num_fovs_subset=100, seed=42, overwrite=False):
+                            num_fovs_subset=100, seed=42, overwrite=False,
+                            table_source=None):
     """Save per-meta-cluster channel averages; merge meta labels into the
-    SOM-average table."""
+    SOM-average table.
+
+    ``table_source``: optional per-FOV frame hook forwarded to
+    ``compute_pixel_cluster_channel_avg`` (fused driver's zero-IO path)."""
     som_cluster_avg_path = os.path.join(base_dir, pc_chan_avg_som_cluster_name)
     meta_cluster_avg_path = os.path.join(base_dir, pc_chan_avg_meta_cluster_name)
     io_utils.validate_paths([som_cluster_avg_path])
@@ -124,7 +128,8 @@ def generate_meta_avg_files(fovs, channels, base_dir, pixel_cc,
     print("Computing average channel expression across pixel meta clusters")
     avg = pixel_cluster_utils.compute_pixel_cluster_channel_avg(
         fovs, channels, base_dir, "pixel_meta_cluster", pixel_cc.max_k,
-        data_dir, num_fovs_subset=num_fovs_subset, seed=seed, keep_count=True)
+        data_dir, num_fovs_subset=num_fovs_subset, seed=seed, keep_count=True,
+        table_source=table_source)
     avg.to_csv(meta_cluster_avg_path, index=False)
 
     print("Mapping meta cluster values onto average channel expression across "

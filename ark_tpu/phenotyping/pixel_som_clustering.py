@@ -158,8 +158,11 @@ def generate_som_avg_files(fovs, channels, base_dir, pixel_pysom,
                            data_dir="pixel_data_dir",
                            pc_chan_avg_som_cluster_name="pixel_channel_avg_som_cluster.csv",
                            num_fovs_subset=100, require_all_som_clusters=True,
-                           seed=42, overwrite=False):
-    """Save average channel expression per pixel SOM cluster (+count)."""
+                           seed=42, overwrite=False, table_source=None):
+    """Save average channel expression per pixel SOM cluster (+count).
+
+    ``table_source``: optional per-FOV frame hook forwarded to
+    ``compute_pixel_cluster_channel_avg`` (fused driver's zero-IO path)."""
     som_cluster_avg_path = os.path.join(base_dir, pc_chan_avg_som_cluster_name)
     if pixel_pysom.weights is None:
         raise ValueError("Using untrained pixel_pysom object, please invoke "
@@ -187,5 +190,6 @@ def generate_som_avg_files(fovs, channels, base_dir, pixel_pysom,
                 "skipping the all-clusters completeness check")
     avg = pixel_cluster_utils.compute_pixel_cluster_channel_avg(
         fovs, channels, base_dir, "pixel_som_cluster", expected,
-        data_dir, num_fovs_subset=num_fovs_subset, seed=seed, keep_count=True)
+        data_dir, num_fovs_subset=num_fovs_subset, seed=seed, keep_count=True,
+        table_source=table_source)
     avg.to_csv(som_cluster_avg_path, index=False)

@@ -29,14 +29,23 @@ through host feathers:
             both pandas numpy paths is bitwise-exact — see
             ``_fov_quantiles``).
   train     unchanged (``pixel_som_clustering.train_pixel_som``).
-  assign    per FOV: ONE readback of the valid rows, the f64 norm-divide
-            via ``np.divide(out=)`` (bitwise-equal to the pandas upcast
-            div, ~50× faster), one BMU upload, and the full feather
-            written ONCE — already norm-divided (the multi-pass path
-            rewrites it) and already carrying the SOM label column.
-  meta      unchanged (consensus + the r4 arrow-passthrough label pass +
-            avg CSV generators), so GUI remap re-entry and all resume
-            semantics keep working on the fused outputs.
+  assign    per FOV, depth-2 software pipeline: ONE readback of the valid
+            rows (FOV i+1's streams while FOV i's host tail runs), the
+            f64 norm-divide via ``np.divide(out=)`` (bitwise-equal to the
+            pandas upcast div, ~50× faster), and a dispatch-only BMU
+            (``som_map_async``) whose upload + kernel fly while the
+            previous FOV's host work runs. Results are held in a
+            byte-budgeted host-RAM store — no feather write yet.
+  avgs+meta the same averaging/consensus functions as template-2's steps,
+            but fed RAM-resident frames (``table_source`` hook — content
+            identical to a column-selected feather read); consensus meta
+            labels come from the very same
+            ``assign_consensus_labels_table`` arrow pass; then each FOV's
+            feather is written EXACTLY ONCE, already norm-divided and
+            already carrying BOTH label columns. FOVs past the RAM budget
+            take the write-now-append-meta-later path (identical
+            artifacts). GUI remap re-entry and all resume semantics keep
+            working on the fused outputs.
 
 FOVs past the HBM budget (default 8 GB ≈ 125 1024²×16ch norm matrices)
 spill to a local disk stash (.npy mmap + .npz) and take the same phases
@@ -70,6 +79,11 @@ from ark_tpu.phenotyping import (pixel_cluster_utils, pixel_meta_clustering,
                                  pixel_som_clustering, pixie_preprocessing)
 
 _DEFAULT_HBM_CACHE_BYTES = 8 << 30
+# RAM-deferred write budget: normalized f64 matrices held on host between
+# SOM assignment and consensus so each FOV's feather is written exactly
+# once, with both label columns (~134 MB per 1024²×16ch FOV → the default
+# holds a ~120-FOV cohort; larger cohorts spill to write-now-append-later)
+_DEFAULT_HOST_CACHE_BYTES = 16 << 30
 
 
 class _HbmCohortCache:
@@ -275,6 +289,7 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
                          pc_chan_avg_meta_cluster_name="pixel_channel_avg_meta_cluster.csv",
                          num_fovs_subset=100, keep_cache=False,
                          hbm_cache_bytes=_DEFAULT_HBM_CACHE_BYTES,
+                         host_cache_bytes=_DEFAULT_HOST_CACHE_BYTES,
                          timings=None):
     """Preprocess + SOM-cluster + meta-cluster the pixel cohort in one sweep.
 
@@ -602,13 +617,10 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
                 pass  # backends without async copy fall back to sync below
         pending[f] = (dev, host, keep_f, w_f)
 
-    def _flush(entry):
-        """Materialize labels (blocks on the in-flight BMU) and commit the
-        FOV's single full feather: normalized channels + coords + label +
-        SOM column, bitwise-equal to the multi-pass artifact."""
-        fov_p, labels_dev, normalized, keep_p, w_p, seg_p = entry
-        labels = np.asarray(labels_dev) + 1   # 1-indexed, as som_map
-        pixel_pysom.som_clusters_seen.update(list(np.unique(labels)))
+    def _som_table(fov_p, normalized, labels, keep_p, w_p, seg_p):
+        """The FOV's full arrow table with the SOM column — the exact
+        artifact layout the multi-pass chain produces after
+        ``cluster_pixels`` (channels f64, fov, coords, label, som int32)."""
         n = len(keep_p)
         cols = {c: pa.array(normalized[:, ci])
                 for ci, c in enumerate(channels)}
@@ -619,8 +631,11 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         if seg_p is not None:
             cols["label"] = pa.array(seg_p.ravel()[keep_p])
         cols["pixel_som_cluster"] = pa.array(labels.astype(np.int32))
+        return pa.table(cols)
+
+    def _commit_table(fov_p, table):
         out_file = os.path.join(data_path, fov_p + ".feather")
-        feather.write_table(pa.table(cols), out_file + ".tmp",
+        feather.write_table(table, out_file + ".tmp",
                             compression="uncompressed")
         os.replace(out_file + ".tmp", out_file)
         if not keep_cache:
@@ -632,6 +647,30 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
                     os.remove(leftover)
                 except OSError:
                     pass
+
+    # RAM-deferred write store: FOVs held here skip the som-only feather
+    # write entirely — their ONE feather write happens after consensus,
+    # already carrying BOTH label columns, and the averaging passes read
+    # them from RAM instead of disk (SURVEY.md §7: persist only stage
+    # boundaries). Past the byte budget, FOVs fall back to the
+    # write-now-append-meta-later path (identical artifacts either way).
+    ram_store = {}
+    ram_used = [0]
+
+    def _flush(entry):
+        """Materialize labels (blocks on the in-flight BMU); stash the FOV
+        in the RAM store or commit its SOM-only feather now (spill)."""
+        fov_p, labels_dev, normalized, keep_p, w_p, seg_p = entry
+        labels = np.asarray(labels_dev) + 1   # 1-indexed, as som_map
+        pixel_pysom.som_clusters_seen.update(list(np.unique(labels)))
+        nb = (normalized.nbytes + labels.nbytes + keep_p.nbytes
+              + (seg_p.nbytes if seg_p is not None else 0))
+        if ram_used[0] + nb <= host_cache_bytes:
+            ram_store[fov_p] = (normalized, labels, keep_p, w_p, seg_p)
+            ram_used[0] += nb
+            return
+        _commit_table(fov_p, _som_table(fov_p, normalized, labels,
+                                        keep_p, w_p, seg_p))
 
     if todo:
         _start_readback(todo[0])
@@ -667,26 +706,64 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         _mark("assign_flush_s", _tf)
     _mark("assign_write_s", _t0)
 
-    # ---- phase: averages + consensus + meta labels (unchanged machinery,
-    # operating on the fused-written feathers) ----
+    # ---- phase: averages + consensus + meta labels. The machinery is
+    # unchanged (same functions as template-2 steps), but RAM-held FOVs are
+    # served to the averaging passes through `table_source` (frames
+    # identical to a column-selected feather read of the artifact) and get
+    # their meta labels via the very same `assign_consensus_labels_table`
+    # the per-FOV consensus pass applies — then ONE feather write commits
+    # both label columns at once. ----
+    ram_meta = {}
+
+    def _ram_table(fov_t, cols_needed):
+        e = ram_store.get(fov_t)
+        if e is None:
+            return None
+        normalized, labels, _keep, _w, _seg = e
+        data = {}
+        for c in cols_needed:
+            if c == "pixel_som_cluster":
+                data[c] = labels
+            elif c == "pixel_meta_cluster":
+                data[c] = ram_meta[fov_t]
+            else:
+                data[c] = normalized[:, channels.index(c)]
+        return pd.DataFrame(data)
+
     _t0 = t_phase()
     pixel_som_clustering.generate_som_avg_files(
         fovs, channels, base_dir, pixel_pysom, data_dir=data_dir,
         pc_chan_avg_som_cluster_name=pc_chan_avg_som_cluster_name,
-        num_fovs_subset=num_fovs_subset, seed=seed)
+        num_fovs_subset=num_fovs_subset, seed=seed, table_source=_ram_table)
     _mark("som_avg_s", _t0)
+    # consensus over the avg table; the per-FOV meta fan-out inside only
+    # sees spilled FOVs (RAM-held ones have no feather on disk yet)
     _t0 = t_phase()
     pixel_cc = pixel_meta_clustering.pixel_consensus_cluster(
         fovs, channels, base_dir, max_k=max_k, cap=cap, data_dir=data_dir,
         pc_chan_avg_som_cluster_name=pc_chan_avg_som_cluster_name, seed=seed)
     _mark("consensus_meta_assign_s", _t0)
+    # the ONE write per RAM-held FOV: som table + the same arrow-pass meta
+    # append the multi-pass chain applies, committed atomically
+    _t0 = t_phase()
+    for fov in fovs:
+        e = ram_store.get(fov)
+        if e is None:
+            continue
+        normalized, labels, keep_f, w_f, seg_f = e
+        table = pixel_cc.assign_consensus_labels_table(
+            _som_table(fov, normalized, labels, keep_f, w_f, seg_f))
+        ram_meta[fov] = table.column("pixel_meta_cluster").to_pandas()
+        _commit_table(fov, table)
+    _mark("final_write_s", _t0)
     _t0 = t_phase()
     pixel_meta_clustering.generate_meta_avg_files(
         fovs, channels, base_dir, pixel_cc, data_dir=data_dir,
         pc_chan_avg_som_cluster_name=pc_chan_avg_som_cluster_name,
         pc_chan_avg_meta_cluster_name=pc_chan_avg_meta_cluster_name,
-        num_fovs_subset=num_fovs_subset, seed=seed)
+        num_fovs_subset=num_fovs_subset, seed=seed, table_source=_ram_table)
     _mark("meta_avg_s", _t0)
+    ram_store.clear()
 
     if not keep_cache:
         rmtree(cache_dir, ignore_errors=True)

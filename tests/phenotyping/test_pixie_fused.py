@@ -141,6 +141,34 @@ def test_fused_spill_path_matches_resident(cohort_pair, tmp_path):
     _assert_same_artifacts(base_mp, base_sp)
 
 
+def test_fused_host_spill_path_matches(cohort_pair, tmp_path):
+    """host_cache_bytes=0 forces every FOV through the write-now-append-
+    meta-later path (SOM-only feather + the consensus temp-dir pass);
+    artifacts must be bitwise-identical to the multipass base."""
+    base_mp, _ = cohort_pair
+    base_sp, tiff_sp, seg_sp = _build_cohort(tmp_path / "hostspill")
+    pixie_fused.run_pixel_clustering(
+        FOVS, CHANNELS, base_sp, tiff_sp, seg_dir=seg_sp,
+        img_sub_folder=None, max_k=MAX_K, subset_proportion=0.5,
+        host_cache_bytes=0)
+    _assert_same_artifacts(base_mp, base_sp)
+
+
+def test_fused_mixed_ram_and_spill_matches(cohort_pair, tmp_path):
+    """A budget that fits only the first FOV exercises BOTH final-write
+    paths in one run (RAM-deferred single write + spill append); the
+    averaging passes then mix table_source frames with disk reads."""
+    base_mp, _ = cohort_pair
+    base_mx, tiff_mx, seg_mx = _build_cohort(tmp_path / "mixed")
+    # one FOV's store entry is ~n*(C*8+4+8+4) ≈ 110 KB at the test's
+    # 48x48x4 cohort — 300 KB holds two FOVs and spills the third
+    pixie_fused.run_pixel_clustering(
+        FOVS, CHANNELS, base_mx, tiff_mx, seg_dir=seg_mx,
+        img_sub_folder=None, max_k=MAX_K, subset_proportion=0.5,
+        host_cache_bytes=300_000)
+    _assert_same_artifacts(base_mp, base_mx)
+
+
 def test_fov_quantiles_replicates_pandas():
     """_fov_quantiles (order-stat surrogate replication) must equal the
     real pandas frame quantile bitwise on both numpy paths: any-NaN
