@@ -98,20 +98,27 @@ class _HbmCohortCache:
         self._store = {}
 
     def put(self, key, arrs) -> bool:
-        nb = sum(int(a.nbytes) for a in arrs)
+        # budget DEVICE bytes only: ("raw", fov) entries carry the host
+        # mirror alongside the device array, and counting the host copy
+        # halved the effective raw capacity at 100-FOV scale (needless
+        # disk spills + TIFF reloads)
+        nb = sum(int(a.nbytes) for a in arrs if isinstance(a, jax.Array))
         if self.used + nb > self.budget:
             return False
-        self._store[key] = arrs
+        self._store[key] = (arrs, nb)
         self.used += nb
         return True
 
     def get(self, key):
-        return self._store.get(key)
+        got = self._store.get(key)
+        return got[0] if got is not None else None
 
     def pop(self, key):
-        arrs = self._store.pop(key, None)
-        if arrs is not None:
-            self.used -= sum(int(a.nbytes) for a in arrs)
+        got = self._store.pop(key, None)
+        if got is None:
+            return None
+        arrs, nb = got
+        self.used -= nb
         return arrs
 
 

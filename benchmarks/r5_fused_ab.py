@@ -81,9 +81,9 @@ def _prep_base(size, fovs, tag):
     return base
 
 
-def main(n_fovs=4, size=1024):
+def main(n_fovs=4, size=1024, order="abba"):
     _setup_cache()
-    out = {"n_fovs": n_fovs, "size": size}
+    out = {"n_fovs": n_fovs, "size": size, "order": order}
     fovs = [f"fov{i}" for i in range(n_fovs)]
 
     # compile warmup, both paths, 1 tiny-cohort FOV each at the timed size
@@ -98,9 +98,12 @@ def main(n_fovs=4, size=1024):
     # window drift on the relay attach (3-6x pool variance, CLAUDE.md) hits
     # both arms symmetrically; per-arm BEST is the compared statistic.
     results = {"multipass": [], "fused": []}
-    order = [("multipass", _run_multipass), ("fused", _run_fused),
-             ("fused", _run_fused), ("multipass", _run_multipass)]
-    for rep, (tag, runner) in enumerate(order):
+    arms = {"multipass": _run_multipass, "fused": _run_fused}
+    plan = {"abba": ["multipass", "fused", "fused", "multipass"],
+            "ab": ["multipass", "fused"],     # one pair (at-scale runs)
+            "ba": ["fused", "multipass"]}[order]
+    for rep, tag in enumerate(plan):
+        runner = arms[tag]
         base = _prep_base(size, fovs, f"{tag}{rep}")
         phase = {}
         try:
@@ -127,5 +130,6 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=4)
     p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--order", choices=("abba", "ab", "ba"), default="abba")
     a = p.parse_args()
-    main(n_fovs=a.n, size=a.size)
+    main(n_fovs=a.n, size=a.size, order=a.order)
