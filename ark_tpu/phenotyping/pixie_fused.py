@@ -193,6 +193,11 @@ def _fov_quantiles(sorted_cols, counts, n_rows, q):
     tests/phenotyping/test_pixie_fused.py.
     """
     counts = np.asarray(counts, np.int64)
+    if n_rows == 0:
+        # empty frame: pandas .quantile returns NaN per column (the
+        # multi-pass driver records NaN for a FOV with zero valid pixels
+        # and continues — the fused path must not die on a blank FOV)
+        return np.full(len(counts), np.nan, np.float32)
     nan_present = bool((counts < n_rows).any())
     lo_rows = np.zeros(len(counts), np.int64)
     hi_rows = np.zeros(len(counts), np.int64)
@@ -637,7 +642,11 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         cols["column_index"] = pa.array((keep_p % w_p).astype(np.int64))
         if seg_p is not None:
             cols["label"] = pa.array(seg_p.ravel()[keep_p])
-        cols["pixel_som_cluster"] = pa.array(labels.astype(np.int32))
+        # zero-valid-pixel FOV: the multi-pass chain's labels come from
+        # `np.empty(0)` (float64 — reference cluster_helpers.py:161), so
+        # the empty artifact column must be f64 too for bitwise parity
+        cols["pixel_som_cluster"] = pa.array(
+            labels.astype(np.int32) if n else labels.astype(np.float64))
         return pa.table(cols)
 
     def _commit_table(fov_p, table):

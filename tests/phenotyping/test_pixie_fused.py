@@ -251,6 +251,31 @@ def test_fused_resume_missing_stash_and_feather(cohort_pair, tmp_path):
     pd.testing.assert_frame_equal(again, ref, check_exact=True)
 
 
+def test_fused_blank_fov_matches_multipass(tmp_path):
+    """A FOV with zero valid pixels (all-zero channels) must not kill the
+    fused sweep: the multi-pass driver records NaN for its 99.9% quantile
+    and writes empty subset/data feathers, and the fused path must produce
+    the identical artifact set (regression: _fov_quantiles raised
+    IndexError on the empty no-NaN numpy path)."""
+    from tests.test_utils import save_image
+
+    def _blank_fov1(tiff_dir):
+        for chan in CHANNELS:
+            p = os.path.join(tiff_dir, "fov1", f"{chan}.tiff")
+            save_image(p, np.zeros((48, 48), np.float32))
+
+    base_mp, tiff_mp, seg_mp = _build_cohort(tmp_path / "mp")
+    base_fu, tiff_fu, seg_fu = _build_cohort(tmp_path / "fu")
+    _blank_fov1(tiff_mp)
+    _blank_fov1(tiff_fu)
+    _run_multipass(base_mp, tiff_mp, seg_mp)
+    _run_fused(base_fu, tiff_fu, seg_fu)
+    _assert_same_artifacts(base_mp, base_fu)
+    blank = feather.read_dataframe(
+        os.path.join(base_fu, "pixel_mat_data", "fov1.feather"))
+    assert len(blank) == 0
+
+
 def test_gui_remap_reentry_on_fused_outputs(cohort_pair):
     """apply_pixel_meta_cluster_remapping (the GUI re-entry path) operates
     on fused-written feathers unchanged."""
