@@ -146,14 +146,23 @@ def _prep_fov_parts(img: jax.Array, blur_factor: int = 2):
     return pixie_preprocessing._prep_fov_parts_inner(img, blur_factor)
 
 
-def _intensity_q05(img_norm_dev: jax.Array) -> float:
+def _intensity_q05_async(img_norm_dev: jax.Array) -> jax.Array:
     """q05 of channel-normalized total signal — the per-FOV statistic of
     ``calculate_pixel_intensity_percentile`` (reference :63-106), from the
     device-resident channel-normalized image instead of a second TIFF
     pass. Eager sum + the same quantile op keep it bitwise-equal to the
-    multi-pass path."""
+    multi-pass path. Returns the DEVICE scalar with its host copy already
+    streaming — the caller collects all q05s after the sweep so the
+    per-FOV sort + dispatch round trip never stalls the host loop
+    (``float(np.asarray(q))`` later is value-identical to ``float(q)``
+    here)."""
     summed = jnp.sum(img_norm_dev, axis=-1)
-    return float(quantiles.quantile(summed, 0.05))
+    q = quantiles.quantile(summed, 0.05)
+    try:
+        q.copy_to_host_async()
+    except Exception:
+        pass  # backends without async copy collect synchronously later
+    return q
 
 
 @jax.jit
@@ -383,16 +392,35 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
     if need_channel_norm:
         # per-FOV per-channel nonzero quantiles; FOVs without positive
         # pixels for a channel are excluded from that channel's mean
-        # (reference pixel_cluster_utils.py:16-60)
+        # (reference pixel_cluster_utils.py:16-60). Depth-2 pipeline
+        # (same pattern as the assign phase): FOV i's upload + percentile
+        # sort fly while FOV i+1's TIFF decodes on host — the collect of
+        # FOV i's scalars happens one iteration late, when its async host
+        # copy has long landed.
         per_fov_vals, per_fov_haspos = [], []
+
+        def _collect_stats(entry):
+            vals_c, haspos_c = entry
+            per_fov_vals.append([float(v) for v in np.asarray(vals_c)])
+            per_fov_haspos.append(np.asarray(haspos_c))
+
+        stats_inflight = None
         for fov in fovs:
             raw, dev = _upload_raw(fov)
             vals, haspos = _channel_percentiles_device(
                 dev, channel_percentile_pre_rownorm)
-            per_fov_vals.append([float(v) for v in np.asarray(vals)])
-            per_fov_haspos.append(np.asarray(haspos))
+            for a in (vals, haspos):
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
             if not fov_complete(fov):
                 hbm.put(("raw", fov), (dev, raw))
+            if stats_inflight is not None:
+                _collect_stats(stats_inflight)
+            stats_inflight = (vals, haspos)
+        if stats_inflight is not None:
+            _collect_stats(stats_inflight)
         means = []
         for ci in range(len(channels)):
             vs = [per_fov_vals[fi][ci] for fi in range(len(fovs))
@@ -449,12 +477,16 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         if need_thresh:
             if raw_dev is None:
                 raw_host, raw_dev = _upload_raw(fov)
-            q05s[fov] = _intensity_q05(raw_dev / norm_vect_f32)
+            # device scalar, collected after the sweep: the q05 sort and
+            # its dispatch round trip run while this FOV's host divide
+            # (and the next FOV's whole iteration) occupy the host
+            q05s[fov] = _intensity_q05_async(raw_dev / norm_vect_f32)
         if not (done or has_state):
             if raw_host is None:
                 raw_host, raw_dev = _upload_raw(fov)
             _prep_resident(fov, raw_host)
         del raw_dev, raw_host
+    q05s = {f: float(np.asarray(q)) for f, q in q05s.items()}
     _mark("norm_sweep_s", _t0)
 
     if need_thresh:
