@@ -38,11 +38,13 @@ def calc_dist_matrix(cell_table, save_path, fov_id=settings.FOV_ID,
     fovs = list(cell_table[fov_id].unique())
 
     def _dispatch(fov):
-        """Upload + launch one FOV's cdist and start its async readback;
-        the result streams device→host while the PREVIOUS FOV's netCDF
-        assembles and writes (depth-2 lookahead — the d2h of a bucketed
-        2048² f32 block is ~0.5-0.9 s on the relay attach and fully hides
-        behind the host tail)."""
+        """Upload + launch one FOV's pairwise distances and start the
+        async readback; the result streams device→host while the PREVIOUS
+        FOV's netCDF assembles and writes (depth-2 lookahead). This must
+        return a jax.Array for the overlap to exist — `dist_ops.cdist`
+        materializes to host numpy before returning, which would make the
+        'pipeline' a fully synchronous readback (the r5 review caught
+        exactly that no-op)."""
         fov_table = cell_table[cell_table[fov_id] == fov]
         centroids = fov_table[list(centroid_ids)].values.astype(np.float32)
         labels = list(fov_table[label_id])
@@ -54,7 +56,8 @@ def calc_dist_matrix(cell_table, save_path, fov_id=settings.FOV_ID,
         nb = dist_ops.shape_bucket(n)
         padded = np.zeros((nb, centroids.shape[1]), np.float32)
         padded[:n] = centroids
-        dev = dist_ops.cdist(padded)
+        pj = jnp.asarray(padded)
+        dev = dist_ops.pairwise_distances(pj, pj, zero_diagonal=True)
         try:
             dev.copy_to_host_async()
         except Exception:

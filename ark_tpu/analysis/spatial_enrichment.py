@@ -49,18 +49,20 @@ def _permutation_null(dist_bin: jax.Array, pos_matrix: jax.Array,
     the positive-label matrix (preserving per-marker positive counts), then
     one batched P·D·Pᵀ einsum computes every marker pair at once.
 
-    Inputs may be zero-padded past ``n_real`` (shape bucketing): the
-    permutation is drawn by argsort of uniforms with padding keys pushed
-    past every real key, so the first ``n_real`` slots are a uniform
-    permutation of the real columns and padding columns (all-zero in both
-    operands) stay inert — the null distribution over real cells is
-    exactly the unpadded one."""
+    Inputs may be zero-padded past ``n_real`` (shape bucketing): a full
+    ``jax.random.permutation`` over the bucket is stably partitioned so
+    real columns fill the first ``n_real`` slots (in the exactly-uniform
+    relative order the full permutation induces) and padding columns
+    (all-zero in both operands) stay inert past them — the null over real
+    cells is exactly the unpadded distribution. (An earlier argsort-of-f32-
+    uniforms draw was *almost* uniform: ~2⁻²⁴ key collisions broke ties
+    toward identity — r5 review finding.)"""
     m, n = pos_matrix.shape
 
     def one(key):
-        u = jax.random.uniform(key, (n,))
-        u = u + (jnp.arange(n) >= n_real) * 2.0      # padding sorts last
-        perm = jnp.argsort(u)
+        perm_all = jax.random.permutation(key, n)
+        order = jnp.argsort(perm_all >= n_real, stable=True)
+        perm = jnp.take(perm_all, order)             # reals first, uniform
         p = jnp.take(pos_matrix, perm, axis=1)                   # (M, N)
         return p @ dist_bin @ p.T                                # MXU x2
 

@@ -281,13 +281,13 @@ def _atomic_npy(path, array):
 
 
 def _data_feather_has_som(data_path, fov):
+    """True if the FOV's data feather exists and carries the SOM column —
+    the corrupt/missing policy is `pixel_cluster_utils._file_missing_col`'s
+    (one shared implementation so the fused and multi-pass resume rules
+    cannot drift)."""
     p = os.path.join(data_path, fov + ".feather")
-    if not os.path.exists(p):
-        return False
-    try:
-        return "pixel_som_cluster" in feather.read_column_names(p)
-    except pixel_cluster_utils.FEATHER_READ_ERRORS:
-        return False
+    return os.path.exists(p) and not pixel_cluster_utils._file_missing_col(
+        p, "pixel_som_cluster")
 
 
 def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
@@ -547,6 +547,10 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
     quant_dat_all = pd.read_csv(quantile_path, index_col="channel") \
         if os.path.exists(quantile_path) else pd.DataFrame()
     wrote_quant = False
+    # valid-pixel label values gathered here are reused by the assign
+    # phase (a few MB per FOV) so each segmentation TIFF is decoded once
+    # per run, not twice
+    seg_keep_cache = {}
     for fov in fovs:
         sub_file = os.path.join(subset_path, fov + ".feather")
         if os.path.exists(sub_file) and fov in quant_dat_all.columns:
@@ -554,6 +558,8 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         seg_labels = None if seg_dir is None else read_image(
             os.path.join(seg_dir, fov + seg_suffix))
         norm_keep_dev, norm_keep_host, keep, w = _get_fov_state(fov)
+        if seg_labels is not None:
+            seg_keep_cache[fov] = seg_labels.ravel()[keep]
 
         # subset: same draw as `pixel_mat.sample(frac=...)` after
         # np.random.seed(seed) — pandas samples via the global RandomState
@@ -572,7 +578,7 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         sub_df["row_index"] = (keep[locs] // w).astype(np.int64)
         sub_df["column_index"] = (keep[locs] % w).astype(np.int64)
         if seg_labels is not None:
-            sub_df["label"] = seg_labels.ravel()[keep[locs]]
+            sub_df["label"] = seg_keep_cache[fov][locs]
         feather.write_dataframe(sub_df, sub_file, compression="uncompressed")
 
         # per-FOV 99.9% nonzero quantile, exact pandas
@@ -631,7 +637,12 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
     _t0 = t_phase()
     weights_cols = list(pixel_pysom.weights.columns)
     weights_f32 = pixel_pysom.weights.values.astype(np.float32)
-    norm_vals_row = pixel_pysom.norm_data.iloc[0].values  # f64, weights order
+    # label-aligned like the multi-pass assign (`sub.div(norm_data.iloc[0],
+    # axis=1)` aligns by column name) — a resumed cohort whose
+    # channel_norm_post_rownorm.feather came from an external run may carry
+    # a different column order, and a positional `.iloc[0].values` would
+    # silently apply the wrong per-channel norm
+    norm_vals_row = pixel_pysom.norm_data[channels].iloc[0].values  # f64
     if weights_cols != channels:
         raise ValueError(
             f"SOM weights columns {weights_cols} do not match the "
@@ -661,10 +672,12 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
                 pass  # backends without async copy fall back to sync below
         pending[f] = (dev, host, keep_f, w_f)
 
-    def _som_table(fov_p, normalized, labels, keep_p, w_p, seg_p):
+    def _som_table(fov_p, normalized, labels, keep_p, w_p, seg_keep_p):
         """The FOV's full arrow table with the SOM column — the exact
         artifact layout the multi-pass chain produces after
-        ``cluster_pixels`` (channels f64, fov, coords, label, som int32)."""
+        ``cluster_pixels`` (channels f64, fov, coords, label, som int32).
+        ``seg_keep_p``: segmentation label values already gathered at the
+        valid-pixel positions (or None without a seg_dir)."""
         n = len(keep_p)
         cols = {c: pa.array(normalized[:, ci])
                 for ci, c in enumerate(channels)}
@@ -672,8 +685,8 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
             pa.array(np.zeros(n, np.int64)))
         cols["row_index"] = pa.array((keep_p // w_p).astype(np.int64))
         cols["column_index"] = pa.array((keep_p % w_p).astype(np.int64))
-        if seg_p is not None:
-            cols["label"] = pa.array(seg_p.ravel()[keep_p])
+        if seg_keep_p is not None:
+            cols["label"] = pa.array(seg_keep_p)
         # zero-valid-pixel FOV: the multi-pass chain's labels come from
         # `np.empty(0)` (float64 — reference cluster_helpers.py:161), so
         # the empty artifact column must be f64 too for bitwise parity
@@ -726,9 +739,13 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
     for i, fov in enumerate(todo):
         if i + 1 < len(todo):
             _start_readback(todo[i + 1])
-        seg_labels = None if seg_dir is None else read_image(
-            os.path.join(seg_dir, fov + seg_suffix))
         norm_keep_dev, norm_keep_host, keep, w = pending.pop(fov)
+        # reuse the subset phase's gathered label values; a resumed run
+        # whose subset feather already existed decodes the TIFF here
+        seg_keep = seg_keep_cache.pop(fov, None)
+        if seg_keep is None and seg_dir is not None:
+            seg_keep = read_image(
+                os.path.join(seg_dir, fov + seg_suffix)).ravel()[keep]
         _td = t_phase()
         if norm_keep_dev is not None:
             norm_keep_host = np.asarray(norm_keep_dev)   # ONE full readback
@@ -742,7 +759,7 @@ def run_pixel_clustering(fovs, channels, base_dir, tiff_dir, seg_dir=None,
         # feather write (below) occupies the host
         labels_dev = som_ops.som_map_async(
             weights_f32, normalized.astype(np.float32))
-        entry = (fov, labels_dev, normalized, keep, w, seg_labels)
+        entry = (fov, labels_dev, normalized, keep, w, seg_keep)
         if in_flight is not None:
             _tf = t_phase()
             _flush(in_flight)

@@ -468,12 +468,19 @@ def generate_cell_table(segmentation_dir, tiff_dir, img_sub_folder="TIFs",
     for fov_name in fovs:
         part_path = os.path.join(checkpoint_dir, fov_name + ".quant.pkl") \
             if checkpoint_dir is not None else None
+        ident = None if part_path is None else _fov_input_identity(
+            fov_name, segmentation_dir, tiff_dir, img_sub_folder,
+            mask_types, add_underscore, nuclear_counts)
         if part_path is not None and os.path.exists(part_path):
             try:
-                norm_parts, arcsinh_parts = pd.read_pickle(part_path)
-                normalized_tables.extend(norm_parts)
-                arcsinh_tables.extend(arcsinh_parts)
-                continue
+                loaded = pd.read_pickle(part_path)
+                # parts carry the input identity they were extracted from;
+                # regenerated masks/TIFFs (or a legacy identity-less part)
+                # invalidate exactly this FOV
+                if len(loaded) == 3 and loaded[2] == ident:
+                    normalized_tables.extend(loaded[0])
+                    arcsinh_tables.extend(loaded[1])
+                    continue
             except Exception:
                 pass  # corrupted part: fall through and re-extract this FOV
         fov_norm_parts, fov_arcsinh_parts = [], []
@@ -535,11 +542,45 @@ def generate_cell_table(segmentation_dir, tiff_dir, img_sub_folder="TIFs",
             # atomic part commit: a kill mid-write leaves a .tmp the rerun
             # ignores, never a truncated part that read_pickle would load
             tmp = part_path + ".tmp"
-            pd.to_pickle((fov_norm_parts, fov_arcsinh_parts), tmp)
+            pd.to_pickle((fov_norm_parts, fov_arcsinh_parts, ident), tmp)
             os.replace(tmp, part_path)
 
     return (pd.concat(normalized_tables),
             pd.concat(arcsinh_tables))
+
+
+def _fov_input_identity(fov_name, segmentation_dir, tiff_dir, img_sub_folder,
+                        mask_types, add_underscore, nuclear_counts):
+    """(size, mtime_ns) of every input file this FOV's extraction reads.
+
+    Stored inside the FOV's checkpoint part and compared on resume: the
+    parameter manifest alone cannot see regenerated inputs (rerunning
+    template 1 with new channels or weights rewrites the masks in the same
+    deepcell_output dir under identical extraction settings), so without
+    this the rerun would silently serve cell tables for the OLD
+    segmentation. A missing file records None and simply mismatches."""
+    paths = []
+    for mask_type in mask_types:
+        suff = None if mask_type is None else (
+            "_" + mask_type if add_underscore else mask_type)
+        paths.append(os.path.join(
+            segmentation_dir,
+            (fov_name + suff + ".tiff") if suff else fov_name + ".tiff"))
+    if nuclear_counts and "whole_cell" in mask_types:
+        paths.append(os.path.join(segmentation_dir,
+                                  fov_name + "_nuclear.tiff"))
+    chan_dir = os.path.join(tiff_dir, fov_name, img_sub_folder or "")
+    if os.path.isdir(chan_dir):
+        paths.extend(os.path.join(chan_dir, f)
+                     for f in sorted(os.listdir(chan_dir)))
+    ident = {}
+    for p in paths:
+        try:
+            st = os.stat(p)
+            ident[os.path.basename(p)] = (st.st_size, st.st_mtime_ns)
+        except OSError:
+            ident[os.path.basename(p)] = None
+    return ident
 
 
 def _reconcile_quant_checkpoint(checkpoint_dir, params):

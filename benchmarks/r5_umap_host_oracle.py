@@ -161,9 +161,14 @@ def main(n=50_000, d=16, k_clusters=6, n_epochs=200):
 
     out = {"n": n, "d": d, "epochs": n_epochs}
 
-    # device engine (honest wall: fit_transform materializes to numpy)
+    # device engine (honest wall: fit_transform materializes to numpy).
+    # The warmup runs on a PERTURBED copy: the relay replays cached
+    # (executable, args) executions (CLAUDE.md trap #2), so timing a
+    # second call with bit-identical inputs could measure a cache hit
+    # instead of device work. The perturbation changes arg bytes only —
+    # shapes match, so the timed run still pays zero compiles.
     um = UMAP(n_epochs=n_epochs, random_state=42)
-    emb_dev = um.fit_transform(data)          # compile warmup
+    um.fit_transform(data * np.float32(1.0 + 1e-4))   # compile warmup
     t0 = time.perf_counter()
     emb_dev = um.fit_transform(data)
     out["device_total_s"] = round(time.perf_counter() - t0, 2)

@@ -40,9 +40,10 @@ def test_observed_counts_match_unpadded_numpy(planted):
 
 def test_null_matches_numpy_oracle_replaying_the_draw(planted):
     """Each bootstrap's (M, M) null counts must equal an unpadded numpy
-    P[:, q] · D · P[:, q]ᵀ where q is the real-column order implied by the
-    same threefry draw: uniforms over the FULL bucket shape, padding keys
-    pushed past every real key, so perm[:n] == argsort(u[:n])."""
+    P[:, q] · D · P[:, q]ᵀ where q is the real-column subsequence of the
+    same full-bucket `jax.random.permutation` draw (stable partition:
+    reals keep the relative order the full permutation induces, padding
+    columns land past slot n_real and stay inert)."""
     dist, pos = planted
     n = dist.shape[0]
     B, seed, dist_lim = 16, 7, 30
@@ -55,10 +56,10 @@ def test_null_matches_numpy_oracle_replaying_the_draw(planted):
     p64 = pos.astype(np.float64)
     keys = jax.random.split(jax.random.PRNGKey(seed), B)
     for b in range(B):
-        # same shape as the kernel's draw — the per-index stream depends
-        # on the full (nb,) shape, not just the first n slots
-        u = np.asarray(jax.random.uniform(keys[b], (nb,)))
-        q = np.argsort(u[:n], kind="stable")
+        # same shape as the kernel's draw — the stream depends on the
+        # full (nb,) bucket, not just the first n slots
+        perm_all = np.asarray(jax.random.permutation(keys[b], nb))
+        q = perm_all[perm_all < n]     # stable partition, reals only
         null_b = p64[:, q] @ d_bin @ p64[:, q].T
         np.testing.assert_array_equal(res["close_num_rand"][b], null_b)
 

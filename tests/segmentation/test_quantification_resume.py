@@ -89,6 +89,54 @@ def test_corrupted_part_is_reextracted(cohort):
     pd.testing.assert_frame_equal(norm_c, norm_d)
 
 
+def test_regenerated_mask_invalidates_only_that_fov(cohort, monkeypatch):
+    """Rewriting one FOV's segmentation mask (same settings — e.g. a
+    template-1 rerun with a new checkpoint regenerates masks in place)
+    must re-extract exactly that FOV: the parameter manifest cannot see
+    input changes, so each part carries its input files' identity."""
+    from ark_tpu.io.image_utils import read_image, save_image
+
+    fovs, tiff_dir, seg_dir, parts = cohort
+    _run(cohort, checkpoint_dir=parts)
+
+    mask_path = os.path.join(seg_dir, "fov1_whole_cell.tiff")
+    mask = read_image(mask_path)
+    mask[mask == mask.max()] = 0          # genuinely different segmentation
+    save_image(mask_path, mask)
+    os.utime(mask_path, ns=(os.stat(mask_path).st_atime_ns,
+                            os.stat(mask_path).st_mtime_ns + 1_000_000))
+
+    calls = []
+    orig = marker_quantification.create_marker_count_matrices
+
+    def spying(*a, **kw):
+        labels = kw["segmentation_labels"] if "segmentation_labels" in kw \
+            else a[0]
+        calls.append(str(np.asarray(labels.coords["fovs"]).ravel()[0]))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(marker_quantification,
+                        "create_marker_count_matrices", spying)
+    norm_c, _ = _run(cohort, checkpoint_dir=parts)
+    assert calls == ["fov1"]
+    norm_direct, _ = _run(cohort)
+    pd.testing.assert_frame_equal(norm_c, norm_direct)
+
+
+def test_legacy_identityless_part_is_reextracted(cohort):
+    """Parts written by the pre-identity format (2-tuples) are treated as
+    stale — their inputs are unknowable."""
+    fovs, tiff_dir, seg_dir, parts = cohort
+    norm_d, _ = _run(cohort)
+    _run(cohort, checkpoint_dir=parts)
+    p = os.path.join(parts, "fov0.quant.pkl")
+    norm_parts, arc_parts, _ident = pd.read_pickle(p)
+    pd.to_pickle((norm_parts, arc_parts), p)
+    norm_c, _ = _run(cohort, checkpoint_dir=parts)
+    pd.testing.assert_frame_equal(norm_c, norm_d)
+    assert len(pd.read_pickle(p)) == 3   # rewritten in the current format
+
+
 def test_changed_settings_invalidate_parts(cohort):
     fovs, tiff_dir, seg_dir, parts = cohort
     _run(cohort, checkpoint_dir=parts)
