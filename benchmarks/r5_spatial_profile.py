@@ -63,6 +63,54 @@ def run_stage(base_dir, ct_path, timings):
     timings["template_total_s"] = round(time.perf_counter() - t0, 1)
 
 
+def ab_pipeline(n_fovs=100, cells_per_fov=250):
+    """A/B the calc_dist_matrix depth-2 readback overlap against a
+    forced-serial arm (pairwise_distances materialized to host numpy
+    before returning — exactly the accidental behavior the r5 review
+    caught, value-identical). ABBA arm order, best-of-2 per arm, one
+    process, warm compile cache; only the dist-matrix loop is timed (the
+    overlap does not touch enrichment)."""
+    _setup_cache()
+    import jax.numpy as jnp  # noqa: F401  (ensures jax initialized once)
+
+    from ark_tpu.analysis import spatial_analysis_utils
+    from ark_tpu.ops import distances
+
+    ct = build_cell_table(n_fovs, cells_per_fov)
+    orig_pd = distances.pairwise_distances
+
+    def sync_pd(a, b, zero_diagonal=False):
+        return np.asarray(orig_pd(a, b, zero_diagonal=zero_diagonal))
+
+    def run_arm(serial):
+        distances.pairwise_distances = sync_pd if serial else orig_pd
+        base = tempfile.mkdtemp(prefix="spatial_ab_")
+        try:
+            t0 = time.perf_counter()
+            spatial_analysis_utils.calc_dist_matrix(
+                ct, os.path.join(base))
+            return time.perf_counter() - t0
+        finally:
+            distances.pairwise_distances = orig_pd
+            shutil.rmtree(base, ignore_errors=True)
+
+    run_arm(serial=False)                        # compile warmup
+    walls = {"pipelined": [], "serial": []}
+    for serial in (False, True, True, False):    # ABBA
+        walls["serial" if serial else "pipelined"].append(run_arm(serial))
+    out = {"n_fovs": n_fovs, "cells_per_fov": cells_per_fov,
+           "pipelined_s": round(min(walls["pipelined"]), 3),
+           "serial_s": round(min(walls["serial"]), 3),
+           "pipelined_runs": [round(w, 3) for w in walls["pipelined"]],
+           "serial_runs": [round(w, 3) for w in walls["serial"]]}
+    out["pipelined_s_per_fov"] = round(out["pipelined_s"] / n_fovs, 3)
+    out["serial_s_per_fov"] = round(out["serial_s"] / n_fovs, 3)
+    out["overlap_speedup"] = round(
+        out["serial_s"] / max(out["pipelined_s"], 1e-9), 2)
+    print(json.dumps(out))
+    return out
+
+
 def main(n_fovs=100, cells_per_fov=250, pershape_n=None):
     """``pershape_n``: FOV count for the no-bucket arm (default: same as
     ``n_fovs``). The no-bucket arm compiles one remote program per distinct
@@ -113,5 +161,11 @@ if __name__ == "__main__":
     p.add_argument("--n", type=int, default=100)
     p.add_argument("--cells", type=int, default=250)
     p.add_argument("--pershape-n", type=int, default=None)
+    p.add_argument("--ab-pipeline", action="store_true",
+                   help="A/B the dist-matrix readback overlap vs a "
+                        "forced-serial arm instead of the bucket A/B")
     a = p.parse_args()
-    main(n_fovs=a.n, cells_per_fov=a.cells, pershape_n=a.pershape_n)
+    if a.ab_pipeline:
+        ab_pipeline(n_fovs=a.n, cells_per_fov=a.cells)
+    else:
+        main(n_fovs=a.n, cells_per_fov=a.cells, pershape_n=a.pershape_n)
