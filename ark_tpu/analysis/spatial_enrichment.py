@@ -92,17 +92,22 @@ def calculate_enrichment(dist_mat, pos_matrix: np.ndarray, dist_lim: float,
     """
     vals = dist_mat.values if hasattr(dist_mat, "values") else np.asarray(dist_mat)
     m, n = pos_matrix.shape
-    nb, mb = _bucket(n), _bucket(m, floor=8)
+    # Bucket ONLY the cell axis: N varies per FOV (the compile-churn axis),
+    # while the marker/phenotype list is cohort-level, so M is constant
+    # across a run and padding it would only inflate the dominant M·N²
+    # einsum term (the r5 pow2-M bucket cost a measured ~1.3× on the
+    # B=1000 null at M=20 — padded to 32 — for zero compile reuse).
+    nb = _bucket(n)
     dist_host = np.zeros((nb, nb), np.float32)
     dist_host[:n, :n] = ((vals < dist_lim) & (vals > 0)).astype(np.float32)
-    pos_host = np.zeros((mb, nb), np.float32)
-    pos_host[:m, :n] = pos_matrix
+    pos_host = np.zeros((m, nb), np.float32)
+    pos_host[:, :n] = pos_matrix
     dist_bin = jnp.asarray(dist_host)
     pos = jnp.asarray(pos_host)
 
-    close_num = np.asarray(_observed(dist_bin, pos))[:m, :m]
+    close_num = np.asarray(_observed(dist_bin, pos))
     null = np.asarray(_permutation_null(
-        dist_bin, pos, jnp.int32(n), seed, bootstrap_num))[:, :m, :m]
+        dist_bin, pos, jnp.int32(n), seed, bootstrap_num))
 
     muhat = null.mean(axis=0)
     sigmahat = null.std(axis=0)

@@ -1,9 +1,11 @@
 """Shape-bucketing invariants of the enrichment permutation null.
 
-`calculate_enrichment` zero-pads both operands to power-of-two buckets so a
+`calculate_enrichment` zero-pads the cell axis to power-of-two buckets so a
 100-FOV cohort reuses one executable instead of compiling ~100
 (ops/distances.shape_bucket; reference computes per-FOV unpadded,
-spatial_analysis_utils.py:17-64). The correctness claim is sharp: padding
+spatial_analysis_utils.py:17-64). The marker axis is NOT padded — the
+phenotype list is cohort-level, so M is constant across a run and padding
+it only inflates the dominant M·N² einsum. The correctness claim is sharp: padding
 columns must stay OUT of the first n_real permutation slots (a real column
 landing in a padding slot would multiply an all-zero distance row and
 silently lose its contribution). These tests pin that end-to-end against
@@ -65,8 +67,8 @@ def test_null_matches_numpy_oracle_replaying_the_draw(planted):
 
 
 def test_marker_axis_padding_is_inert(planted):
-    """Appending all-zero marker rows (still within the same marker
-    bucket) must leave every real marker's counts and null untouched."""
+    """Appending all-zero marker rows must leave every real marker's
+    counts and null untouched (marker rows are independent)."""
     dist, pos = planted
     a = calculate_enrichment(dist, pos, dist_lim=30, bootstrap_num=8,
                              seed=11)
